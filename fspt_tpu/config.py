@@ -1,0 +1,101 @@
+"""Configuration dataclasses.
+
+The reference configures its kernels three ways (reference main.js:953-975 URL
+params, scene JSON, and #define injection main.js:873-877).  Here all of that
+collapses into frozen dataclasses: fields that specialize compiled code are
+static jit args (changing them triggers recompilation, the moral equivalent of
+the reference's shader-preprocessor splice), fields that are runtime-tunable
+(exposure, saturation, ...) are traced device scalars.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Camera state. Mirrors reference camera.fs uniforms + main.js DOM state.
+
+    fov_scale: half-width of the image plane at unit distance
+        (reference main.js:69 `fovScale`, default 0.5).
+    focal_depth / aperture: thin-lens DOF (reference camera.fs:32-35;
+        lensFeatures.x = 1 - 1/focalDepth encoding happens inside raygen).
+    """
+
+    position: Tuple[float, float, float] = (0.0, 0.0, 1.0)
+    direction: Tuple[float, float, float] = (0.0, 0.0, -1.0)
+    fov_scale: float = 0.5
+    focal_depth: float = 1e6
+    aperture: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class PostConfig:
+    """Post-process chain settings (reference shader/draw.fs uniforms)."""
+
+    exposure: float = 1.0
+    saturation: float = 1.0
+    denoise: bool = False          # firefly sigma-clamp filter on/off
+    max_sigma: float = 2.0         # reference main.js:73 `sigma` slider default
+    gamma: float = 2.2
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render configuration.
+
+    Everything here is a static argument of the jitted render step — the
+    TPU-native replacement for the reference's #define injection
+    (reference main.js:873-877) and const shader parameters.
+    """
+
+    width: int = 512
+    height: int = 512
+    bounces: int = 4               # reference shader/tracer.fs:9 NUM_BOUNCES
+    # Refraction does not consume a bounce in the reference (tracer.fs:488
+    # `i--`).  We run a static loop of `max_iters` segments with a per-lane
+    # bounce budget; extra segments cover refraction chains.
+    extra_refraction_iters: int = 4
+    samples: int = 2000            # sample cap (reference main.js:67)
+    batch_spp: int = 1             # samples per jitted step
+    leaf_size: int = 4             # reference main.js:45 BVH leaf size
+    env_bins_cap: int = 256        # static upper bound on radiance bins
+    radiance_clamp: float = 1024.0 # reference tracer.fs:515
+    emissive_scale: float = 30.0   # hardcoded ×30 (reference tracer.fs:467)
+    max_t: float = 1.0e5           # reference tracer.fs:10 MAX_T
+    epsilon: float = 1.0e-6        # reference tracer.fs:11 EPSILON
+    stack_depth: int = 64          # traversal stack bound (tracer.fs:368)
+    # Engine selection for intersection: "bvh" | "brute" (test oracle)
+    intersector: str = "bvh"
+    # Ray-batch tile size (pixels per inner kernel launch); None = whole image
+    tile_pixels: Optional[int] = None
+    # sharding: name of mesh axis to shard pixels over (None = single device)
+    mesh_axis: Optional[str] = None
+    # debug modes: "render" | "bvh_heatmap" (reference mode=test, bvh_test.fs)
+    mode: str = "render"
+    heatmap_scale: float = 0.001   # reference bvh_test.fs:229
+    seed: int = 0
+
+    @property
+    def max_iters(self) -> int:
+        return self.bounces + self.extra_refraction_iters
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
+
+
+def resolution_from_spec(spec: str, window: Tuple[int, int] = (1280, 720)):
+    """Parse the reference's `res=` URL grammar: "WxH" | "S" | "Nx"
+    (reference main.js:953-964): explicit WxH, square SxS, or window*N."""
+    spec = spec.strip()
+    if "x" in spec and not spec.endswith("x"):
+        w, h = spec.split("x")
+        return int(w), int(h)
+    if spec.endswith("x"):
+        n = float(spec[:-1])
+        return int(window[0] * n), int(window[1] * n)
+    s = int(spec)
+    return s, s

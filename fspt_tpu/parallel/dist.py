@@ -1,0 +1,147 @@
+"""Sharded render and differentiable train steps over a device mesh.
+
+Design (see also BASELINE.md north star):
+  * one mesh axis ("rays"): the framebuffer's pixel rows are evenly sharded;
+    each device ray-gens and traces only its own tile (scene pytree
+    replicated).  Forward rendering needs NO collectives — tiles are disjoint.
+  * the differentiable train step computes per-tile losses against a target
+    image and all-reduces (psum) parameter gradients — materials, atlas, env
+    map, camera — across the mesh, the renderer-shaped analog of data-parallel
+    gradient sync.
+
+Multi-host: build the mesh over jax.devices() after
+jax.distributed.initialize(); the same shard_map code rides ICI within a
+slice and DCN across hosts.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from fspt_tpu.config import RenderConfig
+from fspt_tpu.core.camera import generate_rays
+from fspt_tpu.core.integrator import trace_paths
+from fspt_tpu.core.rng import sample_key, stream_uniforms
+
+
+def make_mesh(num_devices: Optional[int] = None,
+              axis_name: str = "rays") -> Mesh:
+    devs = jax.devices()
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def shard_accum(accum, mesh: Mesh):
+    """Place the (N, 3) accumulation buffer row-sharded over the mesh."""
+    return jax.device_put(
+        accum, NamedSharding(mesh, P(mesh.axis_names[0], None)))
+
+
+def make_sharded_sample_step(mesh: Mesh, cfg: RenderConfig):
+    """Returns jitted step(scene, cam, accum, count, base_key, sample_idx)
+    with accum sharded over the mesh's ray axis and the scene replicated."""
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    n = cfg.width * cfg.height
+    if n % n_dev:
+        raise ValueError(f"pixels {n} not divisible by {n_dev} devices")
+    local = n // n_dev
+    resolution = (cfg.width, cfg.height)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(axis, None), P(), P(), P()),
+        out_specs=(P(axis, None), P()),
+        check_vma=False)
+    def inner(scene, cam, accum, count, base_key, sample_idx):
+        shard = jax.lax.axis_index(axis)
+        pixel_idx = shard * local + jnp.arange(local, dtype=jnp.int32)
+        key = jax.random.fold_in(sample_key(base_key, sample_idx), shard)
+
+        def one_sample(spp_i, acc):
+            k = jax.random.fold_in(key, spp_i)
+            cam_u = stream_uniforms(k, 0, (local, 4))
+            origin, direction = generate_rays(
+                cam.position, cam.direction, cam.fov_scale, cam.focal_depth,
+                cam.aperture, resolution, cam_u, pixel_idx=pixel_idx)
+            return acc + trace_paths(scene, cfg, origin, direction, k)
+
+        accum = jax.lax.fori_loop(0, cfg.batch_spp, one_sample, accum)
+        # count is replicated; bump on all shards identically
+        return accum, count + cfg.batch_spp
+
+    return jax.jit(inner, donate_argnums=(2,))
+
+
+# ---------------------------------------------------------------------------
+# differentiable train step (inverse rendering) with gradient all-reduce
+# ---------------------------------------------------------------------------
+
+PARAM_FIELDS = ("mat_emittance", "mat_ior", "mat_dielectric", "atlas", "env")
+
+
+def split_params(scene):
+    """Split SceneArrays into (trainable params dict, remainder pytree)."""
+    params = {f: getattr(scene, f) for f in PARAM_FIELDS}
+    return params
+
+
+def merge_params(scene, params, cam, cam_params):
+    scene = scene._replace(**params)
+    cam = cam._replace(position=cam_params["position"],
+                       direction=cam_params["direction"])
+    return scene, cam
+
+
+def make_train_step(mesh: Mesh, cfg: RenderConfig):
+    """Returns jitted train_step(params, cam_params, scene, cam, target,
+    base_key, step_idx) -> (loss, grads, cam_grads).
+
+    target: (N, 3) sharded over rays.  Gradients of the replicated parameters
+    are psum'd across the mesh — the all-reduce the reference never needed
+    (single GPU) but a pod does.
+    """
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    n = cfg.width * cfg.height
+    if n % n_dev:
+        raise ValueError(f"pixels {n} not divisible by {n_dev} devices")
+    local = n // n_dev
+    resolution = (cfg.width, cfg.height)
+
+    def local_loss(params, cam_params, scene, cam, target_local, key,
+                   pixel_idx):
+        scene, cam = merge_params(scene, params, cam, cam_params)
+        cam_u = stream_uniforms(key, 0, (local, 4))
+        origin, direction = generate_rays(
+            cam.position, cam.direction, cam.fov_scale, cam.focal_depth,
+            cam.aperture, resolution, cam_u, pixel_idx=pixel_idx)
+        radiance = trace_paths(scene, cfg, origin, direction, key)
+        return jnp.mean((radiance - target_local) ** 2)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis, None), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+    def inner(params, cam_params, scene, cam, target, base_key, step_idx):
+        shard = jax.lax.axis_index(axis)
+        pixel_idx = shard * local + jnp.arange(local, dtype=jnp.int32)
+        key = jax.random.fold_in(sample_key(base_key, step_idx), shard)
+        loss, (grads, cam_grads) = jax.value_and_grad(
+            local_loss, argnums=(0, 1))(params, cam_params, scene, cam,
+                                        target, key, pixel_idx)
+        loss = jax.lax.pmean(loss, axis)
+        grads = jax.lax.pmean(grads, axis)
+        cam_grads = jax.lax.pmean(cam_grads, axis)
+        return loss, grads, cam_grads
+
+    return jax.jit(inner)

@@ -1,0 +1,203 @@
+"""Progressive renderer: jitted sample steps accumulated into a running sum.
+
+Replaces the reference's requestAnimationFrame loop + ping-pong accumulation
+textures (reference main.js:838-857 tick, tracer.fs:516-517 running mean) with
+a host loop over a jitted, buffer-donating step carrying (sum, count).  The
+accumulation state plus the RNG base seed *is* the checkpoint — a preempted
+render resumes exactly (the reference's only restartability is a page reload
+that loses all accumulation, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fspt_tpu.config import CameraConfig, PostConfig, RenderConfig
+from fspt_tpu.core.camera import generate_rays
+from fspt_tpu.core.integrator import trace_heatmap, trace_paths
+from fspt_tpu.core.rng import sample_key, stream_uniforms
+from fspt_tpu.core.tonemap import postprocess
+from fspt_tpu.core.traversal import intersect_scene
+
+
+class CameraState(NamedTuple):
+    """Runtime-tunable camera (traced args — moving the camera does not
+    recompile, mirroring the reference's uniform updates + `dirty` restart)."""
+
+    position: jnp.ndarray
+    direction: jnp.ndarray
+    fov_scale: jnp.ndarray
+    focal_depth: jnp.ndarray
+    aperture: jnp.ndarray
+
+    @classmethod
+    def from_config(cls, c: CameraConfig):
+        return cls(position=jnp.asarray(c.position, jnp.float32),
+                   direction=jnp.asarray(c.direction, jnp.float32),
+                   fov_scale=jnp.float32(c.fov_scale),
+                   focal_depth=jnp.float32(c.focal_depth),
+                   aperture=jnp.float32(c.aperture))
+
+
+def sample_step(scene, cfg: RenderConfig, cam: CameraState, accum, count,
+                base_key, sample_idx, resolution):
+    """One progressive sample batch: raygen -> trace -> accumulate.
+
+    accum: (H*W, 3) running radiance sum (donated).  count: () f32.
+    """
+    key = sample_key(base_key, sample_idx)
+
+    def one_sample(spp_i, acc):
+        k = jax.random.fold_in(key, spp_i)
+        n = resolution[0] * resolution[1]
+        cam_u = stream_uniforms(k, 0, (n, 4))
+        origin, direction = generate_rays(
+            cam.position, cam.direction, cam.fov_scale, cam.focal_depth,
+            cam.aperture, resolution, cam_u)
+        if cfg.mode == "bvh_heatmap":
+            radiance = trace_heatmap(scene, cfg, origin, direction)
+        else:
+            radiance = trace_paths(scene, cfg, origin, direction, k)
+        return acc + radiance
+
+    accum = jax.lax.fori_loop(0, cfg.batch_spp, one_sample, accum)
+    return accum, count + cfg.batch_spp
+
+
+class Renderer:
+    """Progressive path-tracing session over one scene."""
+
+    def __init__(self, scene, config: Optional[RenderConfig] = None,
+                 camera: Optional[CameraConfig] = None,
+                 post: Optional[PostConfig] = None):
+        self.scene = scene
+        self.cfg = config or RenderConfig()
+        self.camera = CameraState.from_config(camera or scene.camera)
+        self.post = post or scene.post
+        self.arrays = scene.device_arrays()
+        self.resolution = (self.cfg.width, self.cfg.height)
+        n = self.cfg.width * self.cfg.height
+        self.accum = jnp.zeros((n, 3), jnp.float32)
+        self.count = jnp.zeros((), jnp.float32)
+        self.sample_idx = 0
+        self.base_key = jax.random.key(self.cfg.seed)
+        self._step = jax.jit(
+            functools.partial(sample_step, cfg=self.cfg,
+                              resolution=self.resolution),
+            donate_argnames=("accum",),
+            static_argnames=(),
+        )
+        self._stats = {"samples": 0, "seconds": 0.0}
+
+    # ---- the reference's `dirty` restart (main.js:826-836 clear) -------
+    def reset(self):
+        n = self.cfg.width * self.cfg.height
+        self.accum = jnp.zeros((n, 3), jnp.float32)
+        self.count = jnp.zeros((), jnp.float32)
+        self.sample_idx = 0
+
+    def step(self, num_batches: int = 1):
+        t0 = time.perf_counter()
+        for _ in range(num_batches):
+            self.accum, self.count = self._step(
+                self.arrays, cam=self.camera, accum=self.accum,
+                count=self.count, base_key=self.base_key,
+                sample_idx=self.sample_idx)
+            self.sample_idx += 1
+        self.accum.block_until_ready()
+        dt = time.perf_counter() - t0
+        self._stats["samples"] += num_batches * self.cfg.batch_spp
+        self._stats["seconds"] += dt
+        return self
+
+    def render(self, samples: Optional[int] = None):
+        target = samples if samples is not None else self.scene.samples
+        while float(self.count) < target:
+            self.step()
+        return self
+
+    # ---- outputs --------------------------------------------------------
+    def hdr_image(self) -> np.ndarray:
+        mean = self.accum / jnp.maximum(self.count, 1.0)
+        return np.asarray(mean).reshape(self.cfg.height, self.cfg.width, 3)
+
+    def image(self) -> np.ndarray:
+        hdr = jnp.asarray(self.hdr_image())
+        out = postprocess(hdr, exposure=self.post.exposure,
+                          saturation=self.post.saturation,
+                          denoise=self.post.denoise,
+                          max_sigma=self.post.max_sigma,
+                          gamma=self.post.gamma)
+        return np.asarray(out)
+
+    def save(self, path: str):
+        from fspt_tpu.io.image import write_png
+        write_png(path, self.image())
+        return self
+
+    # ---- autofocus (reference main.js:447-546 shootAutoFocusRay) -------
+    def autofocus(self, px: Optional[int] = None, py: Optional[int] = None):
+        """Set focal depth to the hit distance under the given pixel
+        (defaults to view center). Uses the same device traversal the
+        renderer uses (the reference duplicates it on the CPU)."""
+        origin = self.camera.position[None, :]
+        if px is None:
+            direction = self.camera.direction[None, :]
+        else:
+            n = self.cfg.width * self.cfg.height
+            k = jax.random.key(0)
+            cam_u = jnp.zeros((n, 4), jnp.float32)
+            o, d = generate_rays(self.camera.position, self.camera.direction,
+                                 self.camera.fov_scale, jnp.float32(1e6),
+                                 jnp.float32(0.0), self.resolution, cam_u)
+            idx = py * self.cfg.width + px
+            origin = o[idx:idx + 1]
+            direction = d[idx:idx + 1]
+        hit = intersect_scene(self.arrays, origin, direction,
+                              leaf_size=self.cfg.leaf_size,
+                              stack_depth=self.cfg.stack_depth)
+        t = float(hit.t[0])
+        if t < self.cfg.max_t:
+            self.camera = self.camera._replace(focal_depth=jnp.float32(t))
+        return t
+
+    # ---- checkpoint / resume -------------------------------------------
+    def save_checkpoint(self, path: str):
+        np.savez(path, accum=np.asarray(self.accum),
+                 count=np.asarray(self.count), sample_idx=self.sample_idx,
+                 seed=self.cfg.seed)
+        return self
+
+    def load_checkpoint(self, path: str):
+        data = np.load(path)
+        assert int(data["seed"]) == self.cfg.seed, "seed mismatch"
+        self.accum = jnp.asarray(data["accum"])
+        self.count = jnp.asarray(data["count"])
+        self.sample_idx = int(data["sample_idx"])
+        return self
+
+    # ---- metrics ----------------------------------------------------------
+    @property
+    def stats(self):
+        s = dict(self._stats)
+        n = self.cfg.width * self.cfg.height
+        # rays per sample ~= primary + per-iteration (scatter + shadow)
+        rays_per_sample = n * (1 + 2 * self.cfg.max_iters)
+        if s["seconds"] > 0:
+            s["rays_per_s"] = s["samples"] * rays_per_sample / s["seconds"]
+            s["spp_per_s"] = s["samples"] / s["seconds"]
+        return s
+
+
+def render(scene, config: Optional[RenderConfig] = None,
+           samples: Optional[int] = None) -> np.ndarray:
+    """One-shot render -> (H, W, 3) display image in [0, 1]."""
+    r = Renderer(scene, config)
+    r.render(samples)
+    return r.image()

@@ -1,0 +1,85 @@
+"""Sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fspt_tpu.config import RenderConfig
+from fspt_tpu.parallel.dist import (make_mesh, make_sharded_sample_step,
+                                    make_train_step, shard_accum,
+                                    split_params)
+from fspt_tpu.runtime.renderer import CameraState, Renderer
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()
+
+
+def _cfg(**kw):
+    base = dict(width=16, height=16, bounces=2, extra_refraction_iters=1,
+                batch_spp=1, seed=0)
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+def test_mesh_has_8_devices(mesh):
+    assert mesh.devices.size == 8
+
+
+def test_sharded_render_matches_image_statistics(small_scene, mesh):
+    """Sharded render uses per-shard RNG streams, so images differ per pixel
+    from the single-device path but must agree statistically."""
+    cfg = _cfg()
+    arrays = small_scene.device_arrays()
+    cam = CameraState.from_config(small_scene.camera)
+    n = cfg.width * cfg.height
+    step = make_sharded_sample_step(mesh, cfg)
+    accum = shard_accum(jnp.zeros((n, 3), jnp.float32), mesh)
+    count = jnp.zeros(())
+    key = jax.random.key(0)
+    n_samples = 16
+    for i in range(n_samples):
+        accum, count = step(arrays, cam, accum, count, key, i)
+    sharded = np.asarray(accum) / float(count)
+    assert np.isfinite(sharded).all()
+
+    r = Renderer(small_scene, cfg)
+    r.step(n_samples)
+    single = np.asarray(r.accum) / n_samples
+    # same scene, same estimator, different RNG streams: median brightness
+    # must agree (median is robust to few-sample firefly variance)
+    med_s, med_1 = np.median(sharded), np.median(single)
+    assert abs(med_s - med_1) / med_1 < 0.25
+
+
+def test_train_step_produces_finite_psum_grads(small_scene, mesh):
+    cfg = _cfg(width=16, height=8, bounces=1, extra_refraction_iters=0)
+    arrays = small_scene.device_arrays()
+    cam = CameraState.from_config(small_scene.camera)
+    n = cfg.width * cfg.height
+    train = make_train_step(mesh, cfg)
+    params = split_params(arrays)
+    cam_params = {"position": cam.position, "direction": cam.direction}
+    target = shard_accum(jnp.full((n, 3), 0.25, jnp.float32), mesh)
+    loss, grads, cam_grads = train(params, cam_params, arrays, cam, target,
+                                   jax.random.key(1), 0)
+    assert np.isfinite(float(loss))
+    flat, _ = jax.tree.flatten(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # at least one material gradient is nonzero (diffuse-on-emittance path)
+    total = sum(float(jnp.sum(jnp.abs(g))) for g in flat)
+    assert total > 0.0
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_graft_entry_single():
+    import __graft_entry__
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
