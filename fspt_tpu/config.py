@@ -60,15 +60,17 @@ class RenderConfig:
     extra_refraction_iters: int = 4
     samples: int = 2000            # sample cap (reference main.js:67)
     batch_spp: int = 1             # samples per jitted step
-    leaf_size: int = 4             # reference main.js:45 BVH leaf size
+    leaf_size: int = 8             # tris per leaf (reference uses 4, main.js:45;
+    # 8 halves node count and fits one 128-lane leaf row, ops/packing.py)
     env_bins_cap: int = 256        # static upper bound on radiance bins
     radiance_clamp: float = 1024.0 # reference tracer.fs:515
     emissive_scale: float = 30.0   # hardcoded ×30 (reference tracer.fs:467)
     max_t: float = 1.0e5           # reference tracer.fs:10 MAX_T
     epsilon: float = 1.0e-6        # reference tracer.fs:11 EPSILON
     stack_depth: int = 64          # traversal stack bound (tracer.fs:368)
-    # Engine selection for intersection: "bvh" | "brute" (test oracle)
-    intersector: str = "bvh"
+    # Engine selection for intersection: "packet" (Pallas kernel) | "brute"
+    # (O(N*T) oracle, tests only)
+    intersector: str = "packet"
     # Ray-batch tile size (pixels per inner kernel launch); None = whole image
     tile_pixels: Optional[int] = None
     # sharding: name of mesh axis to shard pixels over (None = single device)

@@ -17,11 +17,14 @@ Estimator parity (same math, same sampling strategies, same MIS):
     power-heuristic MIS (:499-512); radiance clamp (:515).
 
 TPU-native re-design vs the reference:
-  * one ray per SoA lane instead of one GL thread per pixel; the bounce loop
-    is a lax.scan with per-lane active masks and bounce budgets (refraction
-    chains get `extra_refraction_iters` additional static iterations)
-  * scatter + shadow rays are traced as ONE batched traversal of 2N rays per
-    iteration (the reference walks the BVH twice sequentially)
+  * everything is SoA: rays, normals, colors are V3 of flat (N,) lane-dense
+    planes; attributes come from flat-table gathers (the only gather shape
+    XLA lowers efficiently on TPU)
+  * the bounce loop is a lax.scan with per-lane active masks and bounce
+    budgets (refraction chains get `extra_refraction_iters` extra segments)
+  * nearest-hit scatter rays and any-hit shadow rays run through the Pallas
+    packet-traversal kernel (ops/traverse.py), which also returns hit
+    barycentrics — triangle vertices are never re-fetched for shading
   * counter-based RNG (core/rng.py) instead of fract(sin()) hashes
   * fully differentiable w.r.t. materials, atlas, env map, and camera:
     discrete events (hit selection, lobe choice, bin pick) are detached via
@@ -37,151 +40,198 @@ import jax.numpy as jnp
 
 from fspt_tpu.config import RenderConfig
 from fspt_tpu.core import brdf
-from fspt_tpu.core.env import bilinear_wrap_x, env_radiance, sample_env_bins
-from fspt_tpu.core.geometry import barycentric_weights, dot, normalize
+from fspt_tpu.core import vec
+from fspt_tpu.core.env import env_radiance, sample_env_bins
 from fspt_tpu.core.rng import stream_uniforms
-from fspt_tpu.core.traversal import Hit, intersect_scene, intersect_scene_brute
+from fspt_tpu.core.vec import V3, dot, normalize, where
+from fspt_tpu.ops.traverse import PacketHit, packet_traverse
 
 sg = jax.lax.stop_gradient
 
 
-def _intersect(scene, cfg: RenderConfig, origin, direction) -> Hit:
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def intersect(scene, cfg: RenderConfig, meta, origin: V3, direction: V3,
+              tmax=None, any_hit: bool = False) -> PacketHit:
+    """Nearest-hit (or any-hit) traversal, non-differentiable by design:
+    the hit event is a discrete decision (SURVEY §7.1), so kernel inputs are
+    detached and shading re-derives differentiable quantities."""
     if cfg.intersector == "brute":
-        return intersect_scene_brute(scene, origin, direction, max_t=cfg.max_t)
-    return intersect_scene(scene, origin, direction, leaf_size=cfg.leaf_size,
-                           stack_depth=cfg.stack_depth, max_t=cfg.max_t)
+        return _intersect_brute(scene, cfg, origin, direction)
+    return packet_traverse(scene.pk_nodes, scene.pk_leaves,
+                           sg(origin), sg(direction),
+                           sg(tmax) if tmax is not None else None,
+                           leaf_size=meta.leaf_size, any_hit=any_hit,
+                           stack_depth=cfg.stack_depth,
+                           interpret=_use_interpret())
 
 
-def atlas_fetch(atlas, layer, uv):
-    """Bilinear fetch from (L, R, R, 4) atlas with REPEAT wrap both axes;
-    v=0 maps to the image bottom row (OBJ/GL convention; see scene/atlas.py).
-    layer: (N,) i32; uv: (N, 2). Returns (N, 4)."""
-    r = atlas.shape[1]
-    u = uv[..., 0]
-    v = 1.0 - uv[..., 1]
+def _intersect_brute(scene, cfg, origin: V3, direction: V3) -> PacketHit:
+    """O(N*T) oracle path (cfg.intersector='brute', tests only)."""
+    from fspt_tpu.core.geometry import brute_force_intersect
+    o = sg(vec.to_array(origin))
+    d = sg(vec.to_array(direction))
+    t, slot = brute_force_intersect(o, d, scene.tri_v0, scene.tri_e1,
+                                    scene.tri_e2, max_t=cfg.max_t)
+    gi = jnp.maximum(slot, 0)
+    v0 = scene.tri_v0[gi]
+    e1 = scene.tri_e1[gi]
+    e2 = scene.tri_e2[gi]
+    p = o + d * t[:, None]
+    # barycentrics of the hit (u weights corner1, v weights corner2)
+    v2 = p - v0
+    d00 = jnp.sum(e1 * e1, -1)
+    d01 = jnp.sum(e1 * e2, -1)
+    d11 = jnp.sum(e2 * e2, -1)
+    d20 = jnp.sum(v2 * e1, -1)
+    d21 = jnp.sum(v2 * e2, -1)
+    den = d00 * d11 - d01 * d01
+    inv = jnp.reciprocal(jnp.where(jnp.abs(den) > 1e-20, den, 1.0))
+    u = (d11 * d20 - d01 * d21) * inv
+    v = (d00 * d21 - d01 * d20) * inv
+    return PacketHit(t=t, slot=slot, u=u, v=v,
+                     visits=jnp.zeros_like(slot))
+
+
+def atlas_fetch_rgb(scene, meta, layer, u, v) -> V3:
+    """Bilinear RGB fetch from the flat atlas channel planes with REPEAT
+    wrap; v=0 maps to the image bottom row (OBJ/GL convention).
+    layer: (N,) i32; u/v: (N,). Returns V3 of (N,)."""
+    r = meta.atlas_res
     x = u * r - 0.5
-    y = v * r - 0.5
+    y = (1.0 - v) * r - 0.5
     x0f, y0f = jnp.floor(x), jnp.floor(y)
-    fx = (x - x0f)[..., None]
-    fy = (y - y0f)[..., None]
+    fx = x - x0f
+    fy = y - y0f
     x0 = jnp.mod(x0f.astype(jnp.int32), r)
     x1 = jnp.mod(x0 + 1, r)
     y0 = jnp.mod(y0f.astype(jnp.int32), r)
     y1 = jnp.mod(y0 + 1, r)
-    # flat per-texel gathers (4 texels/ray) — never materialize whole layers
-    flat = atlas.reshape(-1, atlas.shape[-1])
     base = layer * (r * r)
-    c00 = flat[base + y0 * r + x0]
-    c10 = flat[base + y0 * r + x1]
-    c01 = flat[base + y1 * r + x0]
-    c11 = flat[base + y1 * r + x1]
-    return (c00 * (1 - fx) * (1 - fy) + c10 * fx * (1 - fy)
-            + c01 * (1 - fx) * fy + c11 * fx * fy)
+    i00 = base + y0 * r + x0
+    i10 = base + y0 * r + x1
+    i01 = base + y1 * r + x0
+    i11 = base + y1 * r + x1
+    w00 = (1 - fx) * (1 - fy)
+    w10 = fx * (1 - fy)
+    w01 = (1 - fx) * fy
+    w11 = fx * fy
+
+    def ch(p):
+        return p[i00] * w00 + p[i10] * w10 + p[i01] * w01 + p[i11] * w11
+
+    return V3(ch(scene.atlas_r), ch(scene.atlas_g), ch(scene.atlas_b))
 
 
 class PathState(NamedTuple):
-    origin: jnp.ndarray        # (N, 3)
-    direction: jnp.ndarray     # (N, 3)
+    origin: V3                 # (N,) planes
+    direction: V3
     t: jnp.ndarray             # (N,) current-hit distance
     slot: jnp.ndarray          # (N,) current-hit slot (-1 miss)
-    throughput: jnp.ndarray    # (N, 3) accumulated reflectance
-    color: jnp.ndarray         # (N, 3)
+    bu: jnp.ndarray            # (N,) hit barycentric (corner 1)
+    bv: jnp.ndarray            # (N,) hit barycentric (corner 2)
+    throughput: V3
+    color: V3
     bounces_used: jnp.ndarray  # (N,) i32
     active: jnp.ndarray        # (N,) bool
 
 
-def trace_paths(scene, cfg: RenderConfig, origin, direction, key):
-    """Path-trace one sample for every input ray. Returns (N, 3) radiance."""
-    n = origin.shape[0]
-    env_hw = (scene.env.shape[0], scene.env.shape[1])
+def trace_paths(scene, cfg: RenderConfig, meta, origin: V3, direction: V3,
+                key) -> V3:
+    """Path-trace one sample for every input ray. Returns V3 (N,) radiance."""
+    n = origin.x.shape[0]
+    env_hw = (meta.env_h, meta.env_w)
 
-    primary = _intersect(scene, cfg, origin, direction)
-    prim_slot = sg(primary.slot)
-    prim_t = sg(primary.t)
+    primary = intersect(scene, cfg, meta, origin, direction)
+    prim_slot = primary.slot
     miss = prim_slot < 0
-    color = jnp.where(miss[:, None],
-                      env_radiance(scene.env, direction, scene.env_theta),
-                      0.0)
+    zero = vec.splat(0.0, like=origin.x)
+    color = where(miss, env_radiance(scene.env_rgb, env_hw, direction,
+                                     scene.env_theta), zero)
 
     state = PathState(
-        origin=origin, direction=direction, t=prim_t, slot=prim_slot,
-        throughput=jnp.ones((n, 3), jnp.float32), color=color,
+        origin=origin, direction=direction, t=primary.t, slot=prim_slot,
+        bu=primary.u, bv=primary.v,
+        throughput=vec.splat(1.0, like=origin.x), color=color,
         bounces_used=jnp.zeros(n, jnp.int32), active=~miss)
 
     def body(state: PathState, it):
-        u = stream_uniforms(key, 1 + it, (n, 8))
-        new_state = _shade_and_scatter(scene, cfg, state, u, env_hw)
-        return new_state, None
+        u = stream_uniforms(key, 1 + it, (8, n))
+        return _shade_and_scatter(scene, cfg, meta, state, u, env_hw), None
 
     state, _ = jax.lax.scan(body, state, jnp.arange(cfg.max_iters))
-    return jnp.clip(state.color, 0.0, cfg.radiance_clamp)
+    c = state.color
+    return V3(jnp.clip(c.x, 0.0, cfg.radiance_clamp),
+              jnp.clip(c.y, 0.0, cfg.radiance_clamp),
+              jnp.clip(c.z, 0.0, cfg.radiance_clamp))
 
 
-def _shade_and_scatter(scene, cfg: RenderConfig, s: PathState, u, env_hw):
-    n = s.origin.shape[0]
+def _corner_lerp(c0: V3, c1: V3, c2: V3, w0, u, v) -> V3:
+    return c0 * w0 + c1 * u + c2 * v
+
+
+def _shade_and_scatter(scene, cfg: RenderConfig, meta, s: PathState, u,
+                       env_hw) -> PathState:
     active = s.active & (s.slot >= 0)
     slot = sg(jnp.maximum(s.slot, 0))
 
-    # ---- gather hit attributes ----------------------------------------
-    v0 = scene.tri_v0[slot]
-    e1 = scene.tri_e1[slot]
-    e2 = scene.tri_e2[slot]
-    nrm = scene.nrm[slot]              # (N, 3corners, 3)
-    tan = scene.tan[slot]
-    btn = scene.btn[slot]
-    uv3 = scene.uv[slot]               # (N, 3, 2)
-    maps = scene.mat_maps[slot]        # (N, 4)
-    emitt = scene.mat_emittance[slot]
-    ior = scene.mat_ior[slot]
-    dielectric = scene.mat_dielectric[slot]
+    # ---- gather hit attributes (flat-table gathers) --------------------
+    emitt = vec.gather(scene.emit, slot)
+    ior = scene.ior[slot]
+    dielectric = scene.dielectric[slot]
+    bu, bv = sg(s.bu), sg(s.bv)
+    w0 = 1.0 - bu - bv
+    tex_u = scene.uv0u[slot] * w0 + scene.uv1u[slot] * bu + scene.uv2u[slot] * bv
+    tex_v = scene.uv0v[slot] * w0 + scene.uv1v[slot] * bu + scene.uv2v[slot] * bv
+    bary_n = _corner_lerp(vec.gather(scene.nrm0, slot),
+                          vec.gather(scene.nrm1, slot),
+                          vec.gather(scene.nrm2, slot), w0, bu, bv)
+    bary_t = _corner_lerp(vec.gather(scene.tan0, slot),
+                          vec.gather(scene.tan1, slot),
+                          vec.gather(scene.tan2, slot), w0, bu, bv)
+    bary_bt = _corner_lerp(vec.gather(scene.btn0, slot),
+                           vec.gather(scene.btn1, slot),
+                           vec.gather(scene.btn2, slot), w0, bu, bv)
 
-    hit_p = s.origin + s.direction * s.t[:, None]
-    bw = barycentric_weights(hit_p, v0, e1, e2)        # (N, 3)
-    texcoord = jnp.einsum("nc,ncu->nu", bw, uv3)
-
-    tex_diffuse = atlas_fetch(scene.atlas, maps[:, 0], texcoord)[:, :3]
-    tex_emissive = atlas_fetch(scene.atlas, maps[:, 1], texcoord)[:, :3]
-    tex_mr = atlas_fetch(scene.atlas, maps[:, 3], texcoord)[:, :2]
-    tex_normal_rgb = atlas_fetch(scene.atlas, maps[:, 2], texcoord)[:, :3]
-    tex_normal = (tex_normal_rgb - jnp.array([0.5, 0.5, 0.0])) \
-        * jnp.array([2.0, 2.0, 1.0])
-    metallic = tex_mr[:, 0]
-    roughness = tex_mr[:, 1] ** 2                      # tracer.fs:457
+    # ---- atlas fetches (tracer.fs:453-456) -----------------------------
+    tex_diffuse = atlas_fetch_rgb(scene, meta, scene.map_d[slot], tex_u, tex_v)
+    tex_emissive = atlas_fetch_rgb(scene, meta, scene.map_e[slot], tex_u, tex_v)
+    mr = atlas_fetch_rgb(scene, meta, scene.map_mr[slot], tex_u, tex_v)
+    metallic, roughness = mr.x, mr.y ** 2                # tracer.fs:457
+    tn = atlas_fetch_rgb(scene, meta, scene.map_n[slot], tex_u, tex_v)
+    tex_normal = V3((tn.x - 0.5) * 2.0, (tn.y - 0.5) * 2.0, tn.z)
 
     # ---- shading frame (tracer.fs:332-337,459-463) --------------------
-    bary_n = jnp.einsum("nc,nck->nk", bw, nrm)
-    bary_t = jnp.einsum("nc,nck->nk", bw, tan)
-    bary_bt = jnp.einsum("nc,nck->nk", bw, btn)
-    macro_n = normalize(tex_normal[:, 0:1] * bary_t
-                        + tex_normal[:, 1:2] * bary_bt
-                        + tex_normal[:, 2:3] * bary_n)
+    macro_n = normalize(bary_t * tex_normal.x + bary_bt * tex_normal.y
+                        + bary_n * tex_normal.z)
     inside = dot(-s.direction, bary_n) < 0.0
     n1 = jnp.where(inside, ior, 1.0)
     n2 = jnp.where(inside, 1.0, ior)
-    macro_n = jnp.where(inside[:, None], -macro_n, macro_n)
+    macro_n = where(inside, -macro_n, macro_n)
+    hit_p = s.origin + s.direction * s.t
     offset_out = hit_p + macro_n * (cfg.epsilon * 2.0)
 
     # ---- emissive (tracer.fs:467) -------------------------------------
-    emit_add = s.throughput * tex_emissive * tex_diffuse * cfg.emissive_scale
-    # constant per-prop emittance (lightBuffer-era; kept additive for working
-    # area lights):
-    emit_add = emit_add + s.throughput * emitt
-    color = s.color + jnp.where(active[:, None], emit_add, 0.0)
+    emit_add = (s.throughput * tex_emissive * tex_diffuse * cfg.emissive_scale
+                + s.throughput * emitt)
+    zero = vec.splat(0.0, like=active.astype(jnp.float32))
+    color = s.color + where(active, emit_add, zero)
 
     incident = -s.direction
 
     # ---- samples -------------------------------------------------------
-    micro_n = brdf.sample_microfacet(macro_n, roughness,
-                                     sg(u[:, 0]), sg(u[:, 1]))
-    env_dir, env_pdf = sample_env_bins(scene.env_bins, scene.n_bins, env_hw,
-                                       scene.env_theta,
-                                       sg(u[:, 2]), sg(u[:, 3]), sg(u[:, 4]))
+    micro_n = brdf.sample_microfacet(macro_n, roughness, sg(u[0]), sg(u[1]))
+    env_dir, env_pdf = sample_env_bins(
+        (scene.bin_x0, scene.bin_y0, scene.bin_x1, scene.bin_y1),
+        scene.n_bins, env_hw, scene.env_theta, sg(u[2]), sg(u[3]), sg(u[4]))
     env_dir = sg(env_dir)
     cos_env = dot(macro_n, env_dir)
 
     fresnel = brdf.schlick(incident, micro_n, n1, n2)
     p_specular = fresnel * (1.0 - metallic) + metallic   # mix(f, 1, metallic)
-    specular = sg(p_specular) > u[:, 5]
+    specular = sg(p_specular) > u[5]
     refractive = ~specular & (dielectric >= 0.0)
     diffuse_lobe = ~specular & ~refractive
 
@@ -190,89 +240,84 @@ def _shade_and_scatter(scene, cfg: RenderConfig, s: PathState, u, env_hw):
     spec_pdf = brdf.gtr2_pdf(incident, macro_n, roughness, spec_dir)
     spec_bsdf = (brdf.eval_specular(incident, macro_n, tex_diffuse, metallic,
                                     roughness, spec_dir)
-                 * jnp.clip(dot(macro_n, spec_dir), 0.0, 1.0)[:, None]
-                 / jnp.maximum(sg(spec_pdf), 1e-12)[:, None])
+                 * (jnp.clip(dot(macro_n, spec_dir), 0.0, 1.0)
+                    / jnp.maximum(sg(spec_pdf), 1e-12)))
     spec_env = (brdf.eval_specular(incident, macro_n, tex_diffuse, metallic,
                                    roughness, env_dir)
-                * jnp.clip(cos_env, 0.0, 1.0)[:, None]
-                / env_pdf[:, None])
+                * (jnp.clip(cos_env, 0.0, 1.0) / env_pdf))
 
     # refraction branch
     refr_dir = brdf.refract(s.direction, micro_n, n1 / n2)
     # diffuse branch
-    diff_dir = brdf.sample_lambert(macro_n, sg(u[:, 6]), sg(u[:, 7]))
+    diff_dir = brdf.sample_lambert(macro_n, sg(u[6]), sg(u[7]))
     diff_pdf = brdf.lambert_pdf(macro_n, diff_dir)
     diff_bsdf = (brdf.eval_lambert(tex_diffuse)
-                 * jnp.clip(dot(macro_n, diff_dir), 0.0, 1.0)[:, None]
-                 / jnp.maximum(sg(diff_pdf), 1e-12)[:, None])
+                 * (jnp.clip(dot(macro_n, diff_dir), 0.0, 1.0)
+                    / jnp.maximum(sg(diff_pdf), 1e-12)))
     diff_env = (brdf.eval_lambert(tex_diffuse)
-                * jnp.clip(cos_env, 0.0, 1.0)[:, None]
-                / env_pdf[:, None])
+                * (jnp.clip(cos_env, 0.0, 1.0) / env_pdf))
 
-    new_dir = jnp.where(specular[:, None], spec_dir,
-                        jnp.where(refractive[:, None], refr_dir, diff_dir))
+    new_dir = where(specular, spec_dir, where(refractive, refr_dir, diff_dir))
     new_dir = sg(normalize(new_dir))
     bsdf_pdf = jnp.where(specular, spec_pdf,
                          jnp.where(refractive, 1.0, diff_pdf))
-    bsdf_throughput = jnp.where(
-        specular[:, None], spec_bsdf,
-        jnp.where(refractive[:, None], 1.0, diff_bsdf))
-    env_throughput = jnp.where(
-        specular[:, None], spec_env,
-        jnp.where(refractive[:, None], 0.0, diff_env))
-    new_origin = jnp.where(refractive[:, None],
-                           hit_p - macro_n * (cfg.epsilon * 2.0), offset_out)
+    one = vec.splat(1.0, like=u[0])
+    bsdf_throughput = where(specular, spec_bsdf,
+                            where(refractive, one, diff_bsdf))
+    env_throughput = where(specular, spec_env,
+                           where(refractive, zero, diff_env))
+    offset_in = hit_p - macro_n * (cfg.epsilon * 2.0)
+    new_origin = where(refractive, offset_in, offset_out)
 
     # Beer's-law-ish absorption when exiting a medium (tracer.fs:497) —
     # replaces the lobe throughput whenever the hit was on the inside.
-    beer = jnp.maximum(
-        1.0 - (1.0 - tex_diffuse) * (s.t * dielectric)[:, None], 0.0)
-    bsdf_throughput = jnp.where(inside[:, None], beer, bsdf_throughput)
+    beer = V3(*(jnp.maximum(1.0 - (1.0 - c) * s.t * dielectric, 0.0)
+                for c in (tex_diffuse.x, tex_diffuse.y, tex_diffuse.z)))
+    bsdf_throughput = where(inside, beer, bsdf_throughput)
 
     w_env, w_bsdf = brdf.mis_weights(env_pdf, sg(bsdf_pdf))
 
-    # ---- combined scatter + shadow traversal (2N rays) ----------------
+    # ---- scatter (nearest) + shadow (any-hit) traversals ---------------
+    park = vec.splat(1.0e9, like=u[0])
+    up = V3(jnp.zeros_like(u[0]), jnp.ones_like(u[0]), jnp.zeros_like(u[0]))
+    scat_o = where(active, new_origin, park)
+    scat_d = where(active, new_dir, up)
+    nxt = intersect(scene, cfg, meta, scat_o, scat_d)
+
     shadow_wanted = active & (dielectric < 0.0) & (cos_env > 0.0)
-    # park finished/irrelevant lanes far outside the scene so their walk
-    # terminates on the root test
-    park = jnp.array([1.0e8, 1.0e8, 1.0e8], jnp.float32)
-    scat_o = jnp.where(active[:, None], new_origin, park)
-    scat_d = jnp.where(active[:, None], new_dir,
-                       jnp.array([0.0, 1.0, 0.0]))
-    shad_o = jnp.where(shadow_wanted[:, None], offset_out, park)
-    shad_d = jnp.where(shadow_wanted[:, None], env_dir,
-                       jnp.array([0.0, 1.0, 0.0]))
-    both = _intersect(scene, cfg,
-                      jnp.concatenate([scat_o, shad_o], axis=0),
-                      jnp.concatenate([scat_d, shad_d], axis=0))
-    nxt_t = sg(both.t[:n])
-    nxt_slot = sg(both.slot[:n])
-    shadow_open = sg(both.slot[n:]) < 0
+    shad_o = where(shadow_wanted, offset_out, park)
+    shad_d = where(shadow_wanted, env_dir, up)
+    shadow_tmax = jnp.where(shadow_wanted, cfg.max_t, 0.0)
+    occ = intersect(scene, cfg, meta, shad_o, shad_d, tmax=shadow_tmax,
+                    any_hit=True)
+    shadow_open = occ.slot < 0
 
     # ---- NEE env contribution (tracer.fs:499-505) ----------------------
     nee = (s.throughput * env_throughput
-           * env_radiance(scene.env, env_dir, scene.env_theta)
-           * w_env[:, None])
-    color = color + jnp.where((shadow_wanted & shadow_open)[:, None], nee, 0.0)
+           * env_radiance(scene.env_rgb, env_hw, env_dir, scene.env_theta)
+           * w_env)
+    color = color + where(shadow_wanted & shadow_open, nee, zero)
 
-    throughput = jnp.where(active[:, None],
-                           s.throughput * bsdf_throughput, s.throughput)
+    throughput = where(active, s.throughput * bsdf_throughput, s.throughput)
 
     # ---- scatter-ray env hit (tracer.fs:509-512) -----------------------
-    scat_miss = active & (nxt_slot < 0)
-    esc = (throughput * env_radiance(scene.env, new_dir, scene.env_theta)
-           * w_bsdf[:, None])
-    color = color + jnp.where(scat_miss[:, None], esc, 0.0)
+    scat_miss = active & (nxt.slot < 0)
+    esc = (throughput
+           * env_radiance(scene.env_rgb, env_hw, new_dir, scene.env_theta)
+           * w_bsdf)
+    color = color + where(scat_miss, esc, zero)
 
     # ---- bookkeeping ----------------------------------------------------
     bounces_used = s.bounces_used + (active & ~refractive).astype(jnp.int32)
     still_active = active & ~scat_miss & (bounces_used < cfg.bounces)
 
     return PathState(
-        origin=jnp.where(active[:, None], new_origin, s.origin),
-        direction=jnp.where(active[:, None], new_dir, s.direction),
-        t=jnp.where(active, nxt_t, s.t),
-        slot=jnp.where(active, nxt_slot, s.slot),
+        origin=where(active, new_origin, s.origin),
+        direction=where(active, new_dir, s.direction),
+        t=jnp.where(active, nxt.t, s.t),
+        slot=jnp.where(active, nxt.slot, s.slot),
+        bu=jnp.where(active, nxt.u, s.bu),
+        bv=jnp.where(active, nxt.v, s.bv),
         throughput=throughput,
         color=color,
         bounces_used=bounces_used,
@@ -280,10 +325,10 @@ def _shade_and_scatter(scene, cfg: RenderConfig, s: PathState, u, env_hw):
     )
 
 
-def trace_heatmap(scene, cfg: RenderConfig, origin, direction):
+def trace_heatmap(scene, cfg: RenderConfig, meta, origin: V3,
+                  direction: V3) -> V3:
     """BVH traversal-cost heatmap (reference mode=test, bvh_test.fs:224-232):
-    per-ray node-visit count scaled by heatmap_scale as grayscale."""
-    hit = intersect_scene(scene, origin, direction, leaf_size=cfg.leaf_size,
-                          stack_depth=cfg.stack_depth, max_t=cfg.max_t)
+    per-packet node-visit count scaled by heatmap_scale as grayscale."""
+    hit = intersect(scene, cfg, meta, origin, direction)
     v = hit.visits.astype(jnp.float32) * cfg.heatmap_scale
-    return jnp.stack([v, v, v], axis=-1)
+    return V3(v, v, v)

@@ -1,7 +1,7 @@
 """Sharded render and differentiable train steps over a device mesh.
 
 Design (see also BASELINE.md north star):
-  * one mesh axis ("rays"): the framebuffer's pixel rows are evenly sharded;
+  * one mesh axis ("rays"): the framebuffer's pixel tiles are evenly sharded;
     each device ray-gens and traces only its own tile (scene pytree
     replicated).  Forward rendering needs NO collectives — tiles are disjoint.
   * the differentiable train step computes per-tile losses against a target
@@ -17,18 +17,19 @@ slice and DCN across hosts.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fspt_tpu.config import RenderConfig
 from fspt_tpu.core.camera import generate_rays
 from fspt_tpu.core.integrator import trace_paths
 from fspt_tpu.core.rng import sample_key, stream_uniforms
+from fspt_tpu.runtime.layout import tile_order
 
 
 def make_mesh(num_devices: Optional[int] = None,
@@ -40,12 +41,12 @@ def make_mesh(num_devices: Optional[int] = None,
 
 
 def shard_accum(accum, mesh: Mesh):
-    """Place the (N, 3) accumulation buffer row-sharded over the mesh."""
+    """Place the (3, N) accumulation buffer column-sharded over the mesh."""
     return jax.device_put(
-        accum, NamedSharding(mesh, P(mesh.axis_names[0], None)))
+        accum, NamedSharding(mesh, P(None, mesh.axis_names[0])))
 
 
-def make_sharded_sample_step(mesh: Mesh, cfg: RenderConfig):
+def make_sharded_sample_step(mesh: Mesh, cfg: RenderConfig, meta):
     """Returns jitted step(scene, cam, accum, count, base_key, sample_idx)
     with accum sharded over the mesh's ray axis and the scene replicated."""
     axis = mesh.axis_names[0]
@@ -55,24 +56,26 @@ def make_sharded_sample_step(mesh: Mesh, cfg: RenderConfig):
         raise ValueError(f"pixels {n} not divisible by {n_dev} devices")
     local = n // n_dev
     resolution = (cfg.width, cfg.height)
+    perm = jnp.asarray(tile_order(cfg.width, cfg.height), jnp.int32)
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P(), P(axis, None), P(), P(), P()),
-        out_specs=(P(axis, None), P()),
+        in_specs=(P(), P(), P(None, axis), P(), P(), P()),
+        out_specs=(P(None, axis), P()),
         check_vma=False)
     def inner(scene, cam, accum, count, base_key, sample_idx):
         shard = jax.lax.axis_index(axis)
-        pixel_idx = shard * local + jnp.arange(local, dtype=jnp.int32)
+        pixel_idx = jax.lax.dynamic_slice_in_dim(perm, shard * local, local)
         key = jax.random.fold_in(sample_key(base_key, sample_idx), shard)
 
         def one_sample(spp_i, acc):
             k = jax.random.fold_in(key, spp_i)
-            cam_u = stream_uniforms(k, 0, (local, 4))
+            cam_u = stream_uniforms(k, 0, (4, local))
             origin, direction = generate_rays(
                 cam.position, cam.direction, cam.fov_scale, cam.focal_depth,
                 cam.aperture, resolution, cam_u, pixel_idx=pixel_idx)
-            return acc + trace_paths(scene, cfg, origin, direction, k)
+            r = trace_paths(scene, cfg, meta, origin, direction, k)
+            return acc + jnp.stack([r.x, r.y, r.z])
 
         accum = jax.lax.fori_loop(0, cfg.batch_spp, one_sample, accum)
         # count is replicated; bump on all shards identically
@@ -85,13 +88,13 @@ def make_sharded_sample_step(mesh: Mesh, cfg: RenderConfig):
 # differentiable train step (inverse rendering) with gradient all-reduce
 # ---------------------------------------------------------------------------
 
-PARAM_FIELDS = ("mat_emittance", "mat_ior", "mat_dielectric", "atlas", "env")
+PARAM_FIELDS = ("emit", "ior", "dielectric",
+                "atlas_r", "atlas_g", "atlas_b", "env_rgb")
 
 
 def split_params(scene):
-    """Split SceneArrays into (trainable params dict, remainder pytree)."""
-    params = {f: getattr(scene, f) for f in PARAM_FIELDS}
-    return params
+    """Trainable material/env parameters out of SceneArrays."""
+    return {f: getattr(scene, f) for f in PARAM_FIELDS}
 
 
 def merge_params(scene, params, cam, cam_params):
@@ -101,13 +104,13 @@ def merge_params(scene, params, cam, cam_params):
     return scene, cam
 
 
-def make_train_step(mesh: Mesh, cfg: RenderConfig):
+def make_train_step(mesh: Mesh, cfg: RenderConfig, meta):
     """Returns jitted train_step(params, cam_params, scene, cam, target,
     base_key, step_idx) -> (loss, grads, cam_grads).
 
-    target: (N, 3) sharded over rays.  Gradients of the replicated parameters
-    are psum'd across the mesh — the all-reduce the reference never needed
-    (single GPU) but a pod does.
+    target: (3, N) sharded over rays (tile order).  Gradients of the
+    replicated parameters are psum'd across the mesh — the all-reduce the
+    reference never needed (single GPU) but a pod does.
     """
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
@@ -116,25 +119,27 @@ def make_train_step(mesh: Mesh, cfg: RenderConfig):
         raise ValueError(f"pixels {n} not divisible by {n_dev} devices")
     local = n // n_dev
     resolution = (cfg.width, cfg.height)
+    perm = jnp.asarray(tile_order(cfg.width, cfg.height), jnp.int32)
 
     def local_loss(params, cam_params, scene, cam, target_local, key,
                    pixel_idx):
         scene, cam = merge_params(scene, params, cam, cam_params)
-        cam_u = stream_uniforms(key, 0, (local, 4))
+        cam_u = stream_uniforms(key, 0, (4, local))
         origin, direction = generate_rays(
             cam.position, cam.direction, cam.fov_scale, cam.focal_depth,
             cam.aperture, resolution, cam_u, pixel_idx=pixel_idx)
-        radiance = trace_paths(scene, cfg, origin, direction, key)
+        r = trace_paths(scene, cfg, meta, origin, direction, key)
+        radiance = jnp.stack([r.x, r.y, r.z])
         return jnp.mean((radiance - target_local) ** 2)
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(axis, None), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(None, axis), P(), P()),
         out_specs=(P(), P(), P()),
         check_vma=False)
     def inner(params, cam_params, scene, cam, target, base_key, step_idx):
         shard = jax.lax.axis_index(axis)
-        pixel_idx = shard * local + jnp.arange(local, dtype=jnp.int32)
+        pixel_idx = jax.lax.dynamic_slice_in_dim(perm, shard * local, local)
         key = jax.random.fold_in(sample_key(base_key, step_idx), shard)
         loss, (grads, cam_grads) = jax.value_and_grad(
             local_loss, argnums=(0, 1))(params, cam_params, scene, cam,

@@ -6,13 +6,17 @@ a host loop over a jitted, buffer-donating step carrying (sum, count).  The
 accumulation state plus the RNG base seed *is* the checkpoint — a preempted
 render resumes exactly (the reference's only restartability is a page reload
 that loses all accumulation, SURVEY.md §5).
+
+TPU-native details: the framebuffer is a (3, N) channel-planes array kept in
+*tile order* (runtime/layout.py) so every 1024-ray packet of the traversal
+kernel is a square screen tile; radiance math is SoA end to end.
 """
 
 from __future__ import annotations
 
 import functools
 import time
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +28,7 @@ from fspt_tpu.core.integrator import trace_heatmap, trace_paths
 from fspt_tpu.core.rng import sample_key, stream_uniforms
 from fspt_tpu.core.tonemap import postprocess
 from fspt_tpu.core.traversal import intersect_scene
+from fspt_tpu.runtime.layout import tile_order, untile
 
 
 class CameraState(NamedTuple):
@@ -45,26 +50,26 @@ class CameraState(NamedTuple):
                    aperture=jnp.float32(c.aperture))
 
 
-def sample_step(scene, cfg: RenderConfig, cam: CameraState, accum, count,
-                base_key, sample_idx, resolution):
+def sample_step(scene, cfg: RenderConfig, meta, cam: CameraState, accum,
+                count, base_key, sample_idx, resolution, pixel_idx):
     """One progressive sample batch: raygen -> trace -> accumulate.
 
-    accum: (H*W, 3) running radiance sum (donated).  count: () f32.
+    accum: (3, N) running radiance sum in pixel_idx order (donated).
     """
     key = sample_key(base_key, sample_idx)
+    n = pixel_idx.shape[0]
 
     def one_sample(spp_i, acc):
         k = jax.random.fold_in(key, spp_i)
-        n = resolution[0] * resolution[1]
-        cam_u = stream_uniforms(k, 0, (n, 4))
+        cam_u = stream_uniforms(k, 0, (4, n))
         origin, direction = generate_rays(
             cam.position, cam.direction, cam.fov_scale, cam.focal_depth,
-            cam.aperture, resolution, cam_u)
+            cam.aperture, resolution, cam_u, pixel_idx=pixel_idx)
         if cfg.mode == "bvh_heatmap":
-            radiance = trace_heatmap(scene, cfg, origin, direction)
+            radiance = trace_heatmap(scene, cfg, meta, origin, direction)
         else:
-            radiance = trace_paths(scene, cfg, origin, direction, k)
-        return acc + radiance
+            radiance = trace_paths(scene, cfg, meta, origin, direction, k)
+        return acc + jnp.stack([radiance.x, radiance.y, radiance.z])
 
     accum = jax.lax.fori_loop(0, cfg.batch_spp, one_sample, accum)
     return accum, count + cfg.batch_spp
@@ -83,22 +88,22 @@ class Renderer:
         self.arrays = scene.device_arrays()
         self.resolution = (self.cfg.width, self.cfg.height)
         n = self.cfg.width * self.cfg.height
-        self.accum = jnp.zeros((n, 3), jnp.float32)
+        self.pixel_idx = jnp.asarray(
+            tile_order(self.cfg.width, self.cfg.height), jnp.int32)
+        self.accum = jnp.zeros((3, n), jnp.float32)
         self.count = jnp.zeros((), jnp.float32)
         self.sample_idx = 0
         self.base_key = jax.random.key(self.cfg.seed)
         self._step = jax.jit(
-            functools.partial(sample_step, cfg=self.cfg,
+            functools.partial(sample_step, cfg=self.cfg, meta=scene.meta,
                               resolution=self.resolution),
-            donate_argnames=("accum",),
-            static_argnames=(),
-        )
+            donate_argnames=("accum",))
         self._stats = {"samples": 0, "seconds": 0.0}
 
     # ---- the reference's `dirty` restart (main.js:826-836 clear) -------
     def reset(self):
         n = self.cfg.width * self.cfg.height
-        self.accum = jnp.zeros((n, 3), jnp.float32)
+        self.accum = jnp.zeros((3, n), jnp.float32)
         self.count = jnp.zeros((), jnp.float32)
         self.sample_idx = 0
 
@@ -108,7 +113,7 @@ class Renderer:
             self.accum, self.count = self._step(
                 self.arrays, cam=self.camera, accum=self.accum,
                 count=self.count, base_key=self.base_key,
-                sample_idx=self.sample_idx)
+                sample_idx=self.sample_idx, pixel_idx=self.pixel_idx)
             self.sample_idx += 1
         self.accum.block_until_ready()
         dt = time.perf_counter() - t0
@@ -124,17 +129,20 @@ class Renderer:
 
     # ---- outputs --------------------------------------------------------
     def hdr_image(self) -> np.ndarray:
-        mean = self.accum / jnp.maximum(self.count, 1.0)
-        return np.asarray(mean).reshape(self.cfg.height, self.cfg.width, 3)
+        """(H, W, 3) mean radiance (row-major image order)."""
+        mean = np.asarray(self.accum / jnp.maximum(self.count, 1.0))
+        img = untile(mean, self.cfg.width, self.cfg.height)   # (3, H, W)
+        return np.moveaxis(img, 0, -1)
 
     def image(self) -> np.ndarray:
-        hdr = jnp.asarray(self.hdr_image())
-        out = postprocess(hdr, exposure=self.post.exposure,
+        mean = np.asarray(self.accum / jnp.maximum(self.count, 1.0))
+        hdr = untile(mean, self.cfg.width, self.cfg.height)    # (3, H, W)
+        out = postprocess(jnp.asarray(hdr), exposure=self.post.exposure,
                           saturation=self.post.saturation,
                           denoise=self.post.denoise,
                           max_sigma=self.post.max_sigma,
                           gamma=self.post.gamma)
-        return np.asarray(out)
+        return np.moveaxis(np.asarray(out), 0, -1)
 
     def save(self, path: str):
         from fspt_tpu.io.image import write_png
@@ -146,21 +154,22 @@ class Renderer:
         """Set focal depth to the hit distance under the given pixel
         (defaults to view center). Uses the same device traversal the
         renderer uses (the reference duplicates it on the CPU)."""
-        origin = self.camera.position[None, :]
+        from fspt_tpu.core.vec import V3, to_array
         if px is None:
+            origin = self.camera.position[None, :]
             direction = self.camera.direction[None, :]
         else:
             n = self.cfg.width * self.cfg.height
             k = jax.random.key(0)
-            cam_u = jnp.zeros((n, 4), jnp.float32)
+            cam_u = jnp.zeros((4, n), jnp.float32)
             o, d = generate_rays(self.camera.position, self.camera.direction,
                                  self.camera.fov_scale, jnp.float32(1e6),
                                  jnp.float32(0.0), self.resolution, cam_u)
             idx = py * self.cfg.width + px
-            origin = o[idx:idx + 1]
-            direction = d[idx:idx + 1]
+            origin = to_array(o)[idx:idx + 1]
+            direction = to_array(d)[idx:idx + 1]
         hit = intersect_scene(self.arrays, origin, direction,
-                              leaf_size=self.cfg.leaf_size,
+                              leaf_size=self.scene.leaf_size,
                               stack_depth=self.cfg.stack_depth)
         t = float(hit.t[0])
         if t < self.cfg.max_t:

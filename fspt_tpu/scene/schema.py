@@ -6,6 +6,13 @@ This replaces the reference's texture/uniform upload contract
 TEXTURE_2D_ARRAY atlas + uniform arrays) with a single pytree of plain device
 arrays — the part of the reference SURVEY.md says to *replace*, not replicate.
 
+TPU-native layout rules (learned from on-chip microbenchmarks):
+  * everything the integrator gathers per-ray is a FLAT (S,) plane — the one
+    gather shape XLA lowers efficiently on TPU; (N, 3)-style arrays waste
+    125/128 vector lanes and relayout on every access
+  * the BVH is packed into VMEM row tables for the Pallas packet kernel
+    (ops/packing.py)
+
 Scene JSON schema parity (reference README + main.js:51-75,915-950):
   environment (path | gradient stops), environmentTheta, cameraPos, cameraDir,
   fovScale, exposure, samples, atlasRes, normalize, worldTransforms,
@@ -29,6 +36,8 @@ from typing import Dict, List, NamedTuple, Optional, Sequence
 import numpy as np
 
 from fspt_tpu.config import CameraConfig, PostConfig
+from fspt_tpu.core.vec import V3
+from fspt_tpu.ops.packing import pack_bvh
 from fspt_tpu.scene import envmap
 from fspt_tpu.scene.atlas import TexturePacker
 from fspt_tpu.scene.bvh import BVHArrays, build_bvh, triangle_aabbs
@@ -36,44 +45,83 @@ from fspt_tpu.scene.mtl import parse_mtl
 from fspt_tpu.scene.obj import MeshGroup, parse_obj
 
 
+def _v3(a, col_major=False):
+    """(K, 3) -> V3 of contiguous flat (K,) planes."""
+    a = np.ascontiguousarray(np.asarray(a, np.float32))
+    return V3(a[:, 0].copy(), a[:, 1].copy(), a[:, 2].copy())
+
+
 class SceneArrays(NamedTuple):
     """Everything the device-side integrator needs, as one pytree.
 
-    S = padded triangle slots (leaf-ordered, multiples of leaf_size)
-    M = BVH nodes, L = atlas layers, (H, W) = env map, B = env-bin capacity.
+    S = padded triangle slots (leaf-ordered, multiples of leaf_size),
+    B = env-bin capacity, Lt = light triangles.
     """
 
-    # geometry, Moller-Trumbore-ready (slot order = BVH leaf order)
+    # --- Pallas packet-traversal tables (ops/packing.py layout) ---
+    pk_nodes: np.ndarray        # (R, 128) f32
+    pk_leaves: np.ndarray       # (L, 128) f32
+    # --- per-slot shading attributes, flat (S,) planes ---
+    nrm0: V3                    # corner shading normals
+    nrm1: V3
+    nrm2: V3
+    tan0: V3
+    tan1: V3
+    tan2: V3
+    btn0: V3
+    btn1: V3
+    btn2: V3
+    uv0u: np.ndarray            # (S,)
+    uv0v: np.ndarray
+    uv1u: np.ndarray
+    uv1v: np.ndarray
+    uv2u: np.ndarray
+    uv2v: np.ndarray
+    map_d: np.ndarray           # (S,) i32 atlas layer: diffuse
+    map_e: np.ndarray           # (S,) i32: emissive
+    map_n: np.ndarray           # (S,) i32: normal
+    map_mr: np.ndarray          # (S,) i32: metallicRoughness
+    emit: V3                    # per-slot constant emittance
+    ior: np.ndarray             # (S,)
+    dielectric: np.ndarray      # (S,)
+    # --- textures, flat channel planes ---
+    atlas_r: np.ndarray         # (L*R*R,) premultiplied linear
+    atlas_g: np.ndarray
+    atlas_b: np.ndarray
+    env_rgb: V3                 # (H*W,) linear radiance
+    bin_x0: np.ndarray          # (B,) env radiance-bin boxes, pixels
+    bin_y0: np.ndarray
+    bin_x1: np.ndarray
+    bin_y1: np.ndarray
+    n_bins: np.ndarray          # () i32 — actual bin count <= B
+    env_theta: np.ndarray       # () f32
+    # --- area lights (emissive groups; reference main.js:394-406) ---
+    light_v0: V3                # (Lt,) planes
+    light_e1: V3
+    light_e2: V3
+    light_slot: np.ndarray      # (Lt,) i32 — slot index for material lookup
+    n_light_tris: np.ndarray    # () i32
+    # --- oracle / autofocus geometry (AoS; tests and single-ray paths) ---
     tri_v0: np.ndarray          # (S, 3) f32
     tri_e1: np.ndarray          # (S, 3) f32
     tri_e2: np.ndarray          # (S, 3) f32
-    # shading attributes per slot
-    nrm: np.ndarray             # (S, 3, 3) f32  per-corner shading normals
-    tan: np.ndarray             # (S, 3, 3) f32
-    btn: np.ndarray             # (S, 3, 3) f32
-    uv: np.ndarray              # (S, 3, 2) f32
-    mat_maps: np.ndarray        # (S, 4) i32  atlas layers: diffuse, emissive, normal, mR
-    mat_emittance: np.ndarray   # (S, 3) f32
-    mat_ior: np.ndarray         # (S,) f32
-    mat_dielectric: np.ndarray  # (S,) f32
-    # BVH (DFS preorder; see scene/bvh.py)
     node_left: np.ndarray       # (M,) i32
     node_right: np.ndarray      # (M,) i32
     node_tri: np.ndarray        # (M,) i32 (slot offset, -1 internal)
     node_min: np.ndarray        # (M, 3) f32
     node_max: np.ndarray        # (M, 3) f32
-    # textures
-    atlas: np.ndarray           # (L, R, R, 4) f32 premultiplied linear
-    env: np.ndarray             # (H, W, 3) f32 linear radiance
-    env_bins: np.ndarray        # (B, 4) f32 [x0, y0, x1, y1] pixels
-    n_bins: np.ndarray          # () i32 — actual bin count <= B
-    env_theta: np.ndarray       # () f32
-    # area lights (emissive groups; reference main.js:394-406 lightBuffer)
-    light_v0: np.ndarray        # (Lt, 3) f32
-    light_e1: np.ndarray        # (Lt, 3) f32
-    light_e2: np.ndarray        # (Lt, 3) f32
-    light_slot: np.ndarray      # (Lt,) i32 — slot index for material lookup
-    n_light_tris: np.ndarray    # () i32
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneMeta:
+    """Static shape metadata (hashable; closed over by jitted steps — the
+    analog of the reference's injected #defines, main.js:873-877)."""
+
+    env_h: int
+    env_w: int
+    atlas_res: int
+    atlas_layers: int
+    leaf_size: int
 
 
 @dataclasses.dataclass
@@ -81,6 +129,7 @@ class Scene:
     """Host-side compiled scene: arrays + defaults + build metadata."""
 
     arrays: SceneArrays
+    meta: SceneMeta
     camera: CameraConfig
     post: PostConfig
     samples: int
@@ -208,7 +257,7 @@ def _resolve_material(prop: dict, group: MeshGroup, packer: TexturePacker,
     )
 
 
-def load_scene_file(path: str, leaf_size: int = 4,
+def load_scene_file(path: str, leaf_size: int = 8,
                     env_bins_cap: int = 256) -> Scene:
     root = os.path.dirname(os.path.abspath(path))
     with open(path) as f:
@@ -218,7 +267,7 @@ def load_scene_file(path: str, leaf_size: int = 4,
                            name=os.path.splitext(os.path.basename(path))[0])
 
 
-def load_scene_dict(scene: dict, loader: AssetLoader, leaf_size: int = 4,
+def load_scene_dict(scene: dict, loader: AssetLoader, leaf_size: int = 8,
                     env_bins_cap: int = 256, name: str = "scene") -> Scene:
     # ---- environment ----------------------------------------------------
     env_spec = scene.get("environment")
@@ -287,39 +336,42 @@ def load_scene_dict(scene: dict, loader: AssetLoader, leaf_size: int = 4,
     pad = slot < 0
     gather = np.where(pad, 0, slot)
 
-    def take(a):
-        out = a[gather].astype(np.float32)
-        out[pad] = 0.0
-        return out
-
     v = verts[gather].astype(np.float32)
     v[pad] = 0.0
     tri_v0 = v[:, 0]
     tri_e1 = v[:, 1] - v[:, 0]
     tri_e2 = v[:, 2] - v[:, 0]
 
-    mats_per_tri = np.array(
-        [[group_mats[g].diffuse_idx, group_mats[g].emissive_idx,
-          group_mats[g].normal_idx, group_mats[g].mr_idx]
-         for g in range(len(all_groups))], dtype=np.int32)
-    emit_per_group = np.array([group_mats[g].emittance[:3]
-                               for g in range(len(all_groups))],
+    pk = pack_bvh(bvh.left, bvh.right, bvh.tri_offset, bvh.node_min,
+                  bvh.node_max, tri_v0, tri_e1, tri_e2, leaf_size=leaf_size)
+
+    def corner(a, c):
+        """(T, 3corners, 3) attr -> padded (S, 3) for corner c."""
+        out = a[gather, c].astype(np.float32)
+        out[pad] = 0.0
+        return out
+
+    mats_per_group = np.array(
+        [[m.diffuse_idx, m.emissive_idx, m.normal_idx, m.mr_idx]
+         for m in group_mats], dtype=np.int32)
+    emit_per_group = np.array([m.emittance[:3] for m in group_mats],
                               dtype=np.float32)
-    ior_per_group = np.array([group_mats[g].ior for g in range(len(all_groups))],
-                             dtype=np.float32)
-    diel_per_group = np.array([group_mats[g].dielectric
-                               for g in range(len(all_groups))],
+    ior_per_group = np.array([m.ior for m in group_mats], dtype=np.float32)
+    diel_per_group = np.array([m.dielectric for m in group_mats],
                               dtype=np.float32)
 
     slot_group = group_of_tri[gather]
-    mat_maps = mats_per_tri[slot_group]
+    mat_maps = mats_per_group[slot_group]
     mat_maps[pad] = 0
-    mat_emittance = emit_per_group[slot_group]
-    mat_emittance[pad] = 0.0
+    mat_emit = emit_per_group[slot_group]
+    mat_emit[pad] = 0.0
     mat_ior = ior_per_group[slot_group]
     mat_ior[pad] = 1.0
-    mat_dielectric = diel_per_group[slot_group]
-    mat_dielectric[pad] = -1.0
+    mat_diel = diel_per_group[slot_group]
+    mat_diel[pad] = -1.0
+
+    uv_s = uv[gather].astype(np.float32)
+    uv_s[pad] = 0.0
 
     # ---- lights ---------------------------------------------------------
     lv0, le1, le2, lslot = [], [], [], []
@@ -346,33 +398,51 @@ def load_scene_dict(scene: dict, loader: AssetLoader, leaf_size: int = 4,
     # ---- env bins (padded to static capacity) --------------------------
     boxes = bins.boxes
     if len(boxes) > env_bins_cap:
-        # keep the brightest bins' granularity by merging overflow into one
-        # whole-image fallback? Simpler: raise — caps should be generous.
         raise ValueError(
             f"scene produced {len(boxes)} env bins > cap {env_bins_cap}; "
             "raise env_bins_cap")
     padded_bins = np.zeros((env_bins_cap, 4), dtype=np.float32)
     padded_bins[: len(boxes)] = boxes.astype(np.float32)
-    if len(boxes) < env_bins_cap:   # repeat last bin into padding (never sampled)
+    if len(boxes) < env_bins_cap:   # repeat last bin into padding (unsampled)
         padded_bins[len(boxes):] = boxes[-1].astype(np.float32)
 
+    # ---- flat texture planes -------------------------------------------
+    atlas = packer.pack()                         # (L, R, R, 4) f32
+    atlas_flat = atlas.reshape(-1, 4)
+    env_f = env.astype(np.float32).reshape(-1, 3)
+
     arrays = SceneArrays(
-        tri_v0=tri_v0, tri_e1=tri_e1, tri_e2=tri_e2,
-        nrm=take(nrm), tan=take(tan), btn=take(btn),
-        uv=uv[gather].astype(np.float32) * (1 - pad[:, None, None]),
-        mat_maps=mat_maps, mat_emittance=mat_emittance,
-        mat_ior=mat_ior, mat_dielectric=mat_dielectric,
-        node_left=bvh.left, node_right=bvh.right, node_tri=bvh.tri_offset,
-        node_min=bvh.node_min, node_max=bvh.node_max,
-        atlas=packer.pack(),
-        env=env.astype(np.float32),
-        env_bins=padded_bins,
+        pk_nodes=pk.nodes, pk_leaves=pk.leaves,
+        nrm0=_v3(corner(nrm, 0)), nrm1=_v3(corner(nrm, 1)),
+        nrm2=_v3(corner(nrm, 2)),
+        tan0=_v3(corner(tan, 0)), tan1=_v3(corner(tan, 1)),
+        tan2=_v3(corner(tan, 2)),
+        btn0=_v3(corner(btn, 0)), btn1=_v3(corner(btn, 1)),
+        btn2=_v3(corner(btn, 2)),
+        uv0u=uv_s[:, 0, 0].copy(), uv0v=uv_s[:, 0, 1].copy(),
+        uv1u=uv_s[:, 1, 0].copy(), uv1v=uv_s[:, 1, 1].copy(),
+        uv2u=uv_s[:, 2, 0].copy(), uv2v=uv_s[:, 2, 1].copy(),
+        map_d=mat_maps[:, 0].copy(), map_e=mat_maps[:, 1].copy(),
+        map_n=mat_maps[:, 2].copy(), map_mr=mat_maps[:, 3].copy(),
+        emit=_v3(mat_emit), ior=mat_ior, dielectric=mat_diel,
+        atlas_r=atlas_flat[:, 0].copy(), atlas_g=atlas_flat[:, 1].copy(),
+        atlas_b=atlas_flat[:, 2].copy(),
+        env_rgb=_v3(env_f),
+        bin_x0=padded_bins[:, 0].copy(), bin_y0=padded_bins[:, 1].copy(),
+        bin_x1=padded_bins[:, 2].copy(), bin_y1=padded_bins[:, 3].copy(),
         n_bins=np.int32(len(boxes)),
         env_theta=np.float32(scene.get("environmentTheta", 0.0)),
-        light_v0=light_v0, light_e1=light_e1, light_e2=light_e2,
-        light_slot=light_slot,
+        light_v0=_v3(light_v0), light_e1=_v3(light_e1),
+        light_e2=_v3(light_e2), light_slot=light_slot,
         n_light_tris=np.int32(sum(len(x) for x in lv0) if lv0 else 0),
+        tri_v0=tri_v0, tri_e1=tri_e1, tri_e2=tri_e2,
+        node_left=bvh.left, node_right=bvh.right, node_tri=bvh.tri_offset,
+        node_min=bvh.node_min, node_max=bvh.node_max,
     )
+
+    meta = SceneMeta(env_h=env.shape[0], env_w=env.shape[1],
+                     atlas_res=atlas.shape[1], atlas_layers=atlas.shape[0],
+                     leaf_size=leaf_size)
 
     camera = CameraConfig(
         position=tuple(scene.get("cameraPos", [0.0, 0.0, 2.0])),
@@ -382,7 +452,7 @@ def load_scene_dict(scene: dict, loader: AssetLoader, leaf_size: int = 4,
     post = PostConfig(exposure=float(scene.get("exposure", 1.0)))
 
     return Scene(
-        arrays=arrays, camera=camera, post=post,
+        arrays=arrays, meta=meta, camera=camera, post=post,
         samples=int(scene.get("samples", 2000)),
         num_triangles=len(verts), bvh_depth=bvh.depth, leaf_size=leaf_size,
         name=name,

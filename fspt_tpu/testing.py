@@ -137,7 +137,7 @@ def checker_texture(res: int = 64, squares: int = 8) -> np.ndarray:
 def make_test_scene(subdivisions: int = 2, textured: bool = False,
                     env: str = "sky", metallic: float = 0.0,
                     roughness: float = 0.3, ior: float = 1.4,
-                    dielectric: float = -1.0, leaf_size: int = 4,
+                    dielectric: float = -1.0, leaf_size: int = 8,
                     env_bins_cap: int = 256,
                     emissive_sphere: bool = False) -> Scene:
     """Icosphere over a floor quad; scene-JSON-schema driven."""
@@ -183,7 +183,7 @@ def make_test_scene(subdivisions: int = 2, textured: bool = False,
                            env_bins_cap=env_bins_cap, name="procedural")
 
 
-def make_bunny_standin_scene(subdivisions: int = 6, leaf_size: int = 4,
+def make_bunny_standin_scene(subdivisions: int = 6, leaf_size: int = 8,
                              env_bins_cap: int = 256) -> Scene:
     """Benchmark-scale stand-in for scene/bunny.json (~80k+ triangles,
     HDRi env with importance bins, mixed materials)."""

@@ -35,8 +35,8 @@ def test_sharded_render_matches_image_statistics(small_scene, mesh):
     arrays = small_scene.device_arrays()
     cam = CameraState.from_config(small_scene.camera)
     n = cfg.width * cfg.height
-    step = make_sharded_sample_step(mesh, cfg)
-    accum = shard_accum(jnp.zeros((n, 3), jnp.float32), mesh)
+    step = make_sharded_sample_step(mesh, cfg, small_scene.meta)
+    accum = shard_accum(jnp.zeros((3, n), jnp.float32), mesh)
     count = jnp.zeros(())
     key = jax.random.key(0)
     n_samples = 16
@@ -59,10 +59,10 @@ def test_train_step_produces_finite_psum_grads(small_scene, mesh):
     arrays = small_scene.device_arrays()
     cam = CameraState.from_config(small_scene.camera)
     n = cfg.width * cfg.height
-    train = make_train_step(mesh, cfg)
+    train = make_train_step(mesh, cfg, small_scene.meta)
     params = split_params(arrays)
     cam_params = {"position": cam.position, "direction": cam.direction}
-    target = shard_accum(jnp.full((n, 3), 0.25, jnp.float32), mesh)
+    target = shard_accum(jnp.full((3, n), 0.25, jnp.float32), mesh)
     loss, grads, cam_grads = train(params, cam_params, arrays, cam, target,
                                    jax.random.key(1), 0)
     assert np.isfinite(float(loss))

@@ -58,12 +58,12 @@ def test_checkpoint_resume(small_scene, tmp_path):
     np.testing.assert_array_equal(a.hdr_image(), b.hdr_image())
 
 
-def test_brute_vs_bvh_integrator_agree(small_scene):
+def test_brute_vs_packet_integrator_agree(small_scene):
     """Same RNG + same estimator, different intersector: images identical up
     to float tolerance."""
-    cfg_bvh = _small_cfg(seed=3, intersector="bvh")
+    cfg_pkt = _small_cfg(seed=3, intersector="packet")
     cfg_brt = _small_cfg(seed=3, intersector="brute")
-    a = Renderer(small_scene, cfg_bvh).step().hdr_image()
+    a = Renderer(small_scene, cfg_pkt).step().hdr_image()
     b = Renderer(small_scene, cfg_brt).step().hdr_image()
     close = np.isclose(a, b, rtol=1e-3, atol=1e-4).mean()
     assert close > 0.995
@@ -78,27 +78,26 @@ def test_autofocus_sets_focal_depth(small_scene):
 
 
 def test_aces_behaves():
-    black = aces_fitted(jnp.zeros((4, 3)))
+    black = aces_fitted([jnp.zeros((2, 2))] * 3)
     np.testing.assert_allclose(np.asarray(black), 0.0, atol=1e-3)
-    big = aces_fitted(jnp.full((4, 3), 100.0))
-    assert (np.asarray(big) > 0.95).all()
-    mid = np.asarray(aces_fitted(jnp.full((1, 3), 0.18)))
-    assert 0.0 < mid[0, 0] < 0.3
+    big = aces_fitted([jnp.full((2, 2), 100.0)] * 3)
+    assert all((np.asarray(c) > 0.95).all() for c in big)
+    mid = aces_fitted([jnp.full((1, 1), 0.18)] * 3)
+    assert 0.0 < float(mid[0][0, 0]) < 0.3
 
 
 def test_firefly_filter_suppresses_outlier():
-    img = jnp.ones((9, 9, 3)) * 0.5
-    img = img.at[4, 4].set(jnp.array([50.0, 50.0, 50.0]))
-    out = filter_fireflies(img, max_sigma=2.0)
-    assert float(out[4, 4, 0]) < 1.0
-    np.testing.assert_allclose(np.asarray(out[0, 0]), [0.5, 0.5, 0.5],
-                               rtol=1e-5)
+    plane = jnp.ones((9, 9)) * 0.5
+    plane = plane.at[4, 4].set(50.0)
+    out = filter_fireflies([plane] * 3, max_sigma=2.0)
+    assert float(out[0][4, 4]) < 1.0
+    np.testing.assert_allclose(float(out[0][0, 0]), 0.5, rtol=1e-5)
 
 
 def test_postprocess_pipeline():
-    img = jnp.full((4, 4, 3), 0.18)
+    img = jnp.full((3, 4, 4), 0.18)
     out = postprocess(img, exposure=2.0, saturation=0.5, denoise=True)
-    assert out.shape == (4, 4, 3)
+    assert out.shape == (3, 4, 4)
     assert np.isfinite(np.asarray(out)).all()
 
 
@@ -106,8 +105,9 @@ def test_emissive_scene_lights_up():
     from fspt_tpu.testing import make_test_scene
     scene = make_test_scene(subdivisions=1, env="gradient",
                             emissive_sphere=True)
-    # black env: gradient stops set below make light the only source
-    scene.arrays.env[:] = 0.0
+    # black env: zero the radiance planes so the light is the only source
+    for plane in scene.arrays.env_rgb:
+        plane[:] = 0.0
     r = Renderer(scene, _small_cfg(seed=1))
     r.step(2)
     hdr = r.hdr_image()
