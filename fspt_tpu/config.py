@@ -71,6 +71,14 @@ class RenderConfig:
     # Engine selection for intersection: "packet" (Pallas kernel) | "brute"
     # (O(N*T) oracle, tests only)
     intersector: str = "packet"
+    # Sort secondary rays by direction octant before traversal so packets
+    # stay coherent (stable sort preserves tile grouping within octants)
+    sort_rays: bool = True
+    # Area-light next-event estimation with MIS.  The reference shipped this
+    # broken and disabled (dead lightTex/numLights uniforms, tracer.fs:18,27;
+    # README.md:33 "Light sampling is currently broken"); here it works.
+    # Default off for estimator parity with the reference.
+    use_light_nee: bool = False
     # Ray-batch tile size (pixels per inner kernel launch); None = whole image
     tile_pixels: Optional[int] = None
     # sharding: name of mesh axis to shard pixels over (None = single device)

@@ -100,6 +100,8 @@ class SceneArrays(NamedTuple):
     light_e1: V3
     light_e2: V3
     light_slot: np.ndarray      # (Lt,) i32 — slot index for material lookup
+    light_cdf: np.ndarray       # (Lt,) f32 — area-weighted CDF (ends at 1)
+    light_area: np.ndarray      # () f32 — total light surface area
     n_light_tris: np.ndarray    # () i32
     # --- oracle / autofocus geometry (AoS; tests and single-ray paths) ---
     tri_v0: np.ndarray          # (S, 3) f32
@@ -394,6 +396,9 @@ def load_scene_dict(scene: dict, loader: AssetLoader, leaf_size: int = 8,
         light_e1 = np.zeros((1, 3), np.float32)
         light_e2 = np.zeros((1, 3), np.float32)
         light_slot = np.zeros((1,), np.int32)
+    areas = 0.5 * np.linalg.norm(np.cross(light_e1, light_e2), axis=1)
+    light_area = float(areas.sum())
+    light_cdf = (np.cumsum(areas) / max(light_area, 1e-20)).astype(np.float32)
 
     # ---- env bins (padded to static capacity) --------------------------
     boxes = bins.boxes
@@ -434,6 +439,7 @@ def load_scene_dict(scene: dict, loader: AssetLoader, leaf_size: int = 8,
         env_theta=np.float32(scene.get("environmentTheta", 0.0)),
         light_v0=_v3(light_v0), light_e1=_v3(light_e1),
         light_e2=_v3(light_e2), light_slot=light_slot,
+        light_cdf=light_cdf, light_area=np.float32(light_area),
         n_light_tris=np.int32(sum(len(x) for x in lv0) if lv0 else 0),
         tri_v0=tri_v0, tri_e1=tri_e1, tri_e2=tri_e2,
         node_left=bvh.left, node_right=bvh.right, node_tri=bvh.tri_offset,

@@ -112,3 +112,23 @@ def test_emissive_scene_lights_up():
     r.step(2)
     hdr = r.hdr_image()
     assert hdr.max() > 0.0  # emittance term contributes
+
+
+def test_light_nee_unbiased_vs_bsdf_sampling():
+    """Working area-light NEE (the reference's is broken+disabled): with MIS
+    the estimator must converge to the same image as BSDF-only sampling."""
+    from fspt_tpu.testing import make_test_scene
+    scene = make_test_scene(subdivisions=1, env="gradient",
+                            emissive_sphere=True)
+    for plane in scene.arrays.env_rgb:
+        plane[:] = 0.0
+    means = {}
+    for nee in (False, True):
+        cfg = _small_cfg(width=16, height=16, seed=2, intersector="brute",
+                         use_light_nee=nee, batch_spp=4)
+        r = Renderer(scene, cfg)
+        r.step(16)
+        means[nee] = float(r.hdr_image().mean())
+    assert means[True] > 0
+    # both estimate the same integral; agreement within MC noise
+    assert abs(means[True] - means[False]) / means[False] < 0.15
