@@ -149,6 +149,20 @@ class Renderer:
         write_png(path, self.image())
         return self
 
+    # ---- interactive preview (reference main.js:841 resScale=0.25) -----
+    def preview(self, scale: float = 0.25, samples: int = 1) -> np.ndarray:
+        """Quick low-resolution render at the current camera — the
+        reference's quarter-res while-moving mode.  Does not disturb the
+        progressive accumulation state."""
+        import dataclasses
+        w = max(int(self.cfg.width * scale) // 8 * 8, 16)
+        h = max(int(self.cfg.height * scale) // 8 * 8, 16)
+        cfg = dataclasses.replace(self.cfg, width=w, height=h, batch_spp=1)
+        r = Renderer(self.scene, cfg, post=self.post)
+        r.camera = self.camera
+        r.step(samples)
+        return r.image()
+
     # ---- autofocus (reference main.js:447-546 shootAutoFocusRay) -------
     def autofocus(self, px: Optional[int] = None, py: Optional[int] = None):
         """Set focal depth to the hit distance under the given pixel
