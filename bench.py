@@ -49,7 +49,7 @@ def main():
 
     r.step(warmup)
     t0 = time.time()
-    r.step(iters)
+    r.step(iters)   # step() drains the dispatch pipeline (scalar fetch)
     dt = time.time() - t0
 
     n_pixels = cfg.width * cfg.height

@@ -1,15 +1,27 @@
 """Pack the host-built BVH into the lane-dense VMEM tables the Pallas
 packet-traversal kernel (ops/traverse.py) consumes.
 
-Layout (chosen from on-chip microbenchmarks — see ops/traverse.py docstring):
+The binary SAH tree (scene/bvh.py, semantics of reference bvh.js) is
+collapsed into an **8-wide BVH** at pack time: a traversal visit then tests
+eight child AABBs in one (8, 128)-shaped VPU pass instead of two, which
+cuts visited-node count ~3x for the same vector cost per test and shrinks
+the shared packet stack.  Wide children are ordered along the parent's
+principal axis so the kernel can push near-to-far with one scalar sign
+check (no per-visit sorting).
 
-* ``nodes``: (ceil(Mi/8), 128) float32 — eight internal nodes per row,
-  16 lanes each.  Node record (lanes 16*j .. 16*j+13):
-      [0:3]  left-child AABB min      [3:6]  left-child AABB max
-      [6:9]  right-child AABB min     [9:12] right-child AABB max
-      [12]   left link                [13]   right link
-  Links are stored as exact small floats: ``link >= 0`` is an internal-node
-  ordinal, ``link < 0`` is ``-(leaf_ordinal + 1)``.
+Layout:
+
+* ``nodes``: (W, 128) float32 — ONE wide node per row:
+      lanes [ 0: 8]  child min.x (children 0..7)
+      lanes [ 8:16]  child min.y         [16:24] child min.z
+      lanes [24:32]  child max.x         [32:40] child max.y
+      lanes [40:48]  child max.z
+      lanes [48:56]  child links         [56] sort axis (0/1/2)
+  Links are exact small floats: ``link >= 0`` is a wide-node ordinal,
+  ``link < 0`` is ``-(leaf_ordinal + 1)``.  Empty child slots carry link
+  ``EMPTY_LINK`` (-1e9) which the kernel masks out of the descent vote —
+  the slab test alone cannot reject them, because with per-axis min/max
+  reordering an "inverted" box behaves like one spanning [-BIG, +BIG].
 * ``leaves``: (L, 128) float32 — one leaf per row, ``leaf_size`` triangles
   at lanes 9*k .. 9*k+9 as [v0, e1, e2].  Padding slots are all-zero
   (degenerate => det == 0 => never hit, same convention as SceneArrays).
@@ -29,17 +41,67 @@ from typing import NamedTuple
 import numpy as np
 
 
+BIG = np.float32(3.0e38)      # empty-child box coords (masked via link)
+EMPTY_LINK = np.float32(-1.0e9)   # empty-child link sentinel (kernel masks)
+WIDTH = 8                     # wide-BVH branching factor
+
+
 class PackedBVH(NamedTuple):
-    nodes: np.ndarray      # (R, 128) f32
+    nodes: np.ndarray      # (W, 128) f32 — one 8-wide node per row
     leaves: np.ndarray     # (L, 128) f32
-    # 1 row of metadata kept host-side (static python ints):
-    # stored on Scene, not here
+    depth: int             # wide-tree depth (root = 0); sizes the kernel
+    #                        traversal stack: max ptr <= 8 * (depth + 2)
+
+
+def _collapse8(left, right, is_leaf, node_min, node_max):
+    """Collapse a binary tree into 8-wide nodes.
+
+    Greedy: starting from (left, right), repeatedly expand the internal
+    child with the largest surface area until the node has WIDTH children
+    or only leaves remain.  Returns (children_of, axis_of) where
+    children_of[w] is the list of binary ids forming wide node w, sorted
+    by centroid along axis_of[w] (the parent's principal axis), and
+    wide_ord maps binary id -> wide ordinal for internal children."""
+    d = node_max - node_min
+    area = 2.0 * (d[:, 0] * d[:, 1] + d[:, 0] * d[:, 2] + d[:, 1] * d[:, 2])
+    center = node_min + node_max            # 2x centroid, order-equivalent
+
+    order = [0]
+    wide_ord = {0: 0}
+    depth_of = [0]
+    children_of = []
+    axis_of = []
+    qi = 0
+    while qi < len(order):
+        b = order[qi]
+        dep = depth_of[qi]
+        qi += 1
+        kids = [int(left[b]), int(right[b])]
+        while len(kids) < WIDTH:
+            best, best_a = -1, -1.0
+            for i, k in enumerate(kids):
+                if not is_leaf[k] and area[k] > best_a:
+                    best_a, best = float(area[k]), i
+            if best < 0:
+                break
+            k = kids.pop(best)
+            kids.extend([int(left[k]), int(right[k])])
+        axis = int(np.argmax(node_max[b] - node_min[b]))
+        kids.sort(key=lambda k: float(center[k, axis]))
+        for k in kids:
+            if not is_leaf[k]:
+                wide_ord[k] = len(order)
+                order.append(k)
+                depth_of.append(dep + 1)
+        children_of.append(kids)
+        axis_of.append(axis)
+    return children_of, axis_of, wide_ord, max(depth_of)
 
 
 def pack_bvh(node_left, node_right, node_tri, node_min, node_max,
              tri_v0, tri_e1, tri_e2, leaf_size: int) -> PackedBVH:
-    """Convert the SceneArrays-style BVH (per-node bbox, DFS preorder,
-    tri_offset >= 0 marking leaves) into child-box packed tables."""
+    """Convert the SceneArrays-style binary BVH (per-node bbox, DFS
+    preorder, tri_offset >= 0 marking leaves) into 8-wide packed tables."""
     if leaf_size * 9 > 128:
         raise ValueError(f"leaf_size {leaf_size} needs {leaf_size * 9} lanes")
     node_left = np.asarray(node_left)
@@ -47,50 +109,47 @@ def pack_bvh(node_left, node_right, node_tri, node_min, node_max,
     node_tri = np.asarray(node_tri)
     node_min = np.asarray(node_min, np.float32)
     node_max = np.asarray(node_max, np.float32)
-    m = len(node_left)
     is_leaf = node_tri >= 0
 
     # leaf ordinal: tri_offset / leaf_size (offsets are leaf_size-aligned)
     leaf_ord = np.where(is_leaf, node_tri // leaf_size, -1)
     n_leaves = int(is_leaf.sum())
 
-    # internal ordinals in original (DFS preorder) order
-    internal_ord = np.cumsum(~is_leaf) - 1
-    internal_ord = np.where(is_leaf, -1, internal_ord)
-    n_internal = int((~is_leaf).sum())
-
-    def link(child):
-        return np.where(is_leaf[child],
-                        -(leaf_ord[child] + 1.0),
-                        internal_ord[child].astype(np.float64))
-
-    if n_internal == 0:
-        # single-leaf scene: synthesize a root whose two children are both
-        # leaf 0 (the duplicate child can never improve the hit)
+    if is_leaf[0]:
+        # single-leaf scene: one wide root with one leaf child
         rows = np.zeros((1, 128), np.float32)
-        rows[0, 0:3] = node_min[0]
-        rows[0, 3:6] = node_max[0]
-        rows[0, 6:9] = node_min[0]
-        rows[0, 9:12] = node_max[0]
-        rows[0, 12] = -1.0
-        rows[0, 13] = -1.0
-        nodes_flat = rows.reshape(1, 128)
+        rows[0, 0:24] = BIG                  # empty child minima
+        rows[0, 24:48] = -BIG                # empty child maxima
+        rows[0, 48:56] = EMPTY_LINK
+        depth = 0
+        rows[0, 0] = node_min[0, 0]
+        rows[0, 8] = node_min[0, 1]
+        rows[0, 16] = node_min[0, 2]
+        rows[0, 24] = node_max[0, 0]
+        rows[0, 32] = node_max[0, 1]
+        rows[0, 40] = node_max[0, 2]
+        rows[0, 48] = -1.0                   # leaf 0
+        nodes_flat = rows
     else:
-        ids = np.flatnonzero(~is_leaf)
-        rec = np.zeros((n_internal, 16), np.float32)
-        l = node_left[ids]
-        r = node_right[ids]
-        rec[:, 0:3] = node_min[l]
-        rec[:, 3:6] = node_max[l]
-        rec[:, 6:9] = node_min[r]
-        rec[:, 9:12] = node_max[r]
-        rec[:, 12] = link(l)
-        rec[:, 13] = link(r)
-        pad_rows = (-n_internal) % 8
-        if pad_rows:
-            rec = np.concatenate(
-                [rec, np.zeros((pad_rows, 16), np.float32)], axis=0)
-        nodes_flat = rec.reshape(-1, 128)
+        children_of, axis_of, wide_ord, depth = _collapse8(
+            node_left, node_right, is_leaf, node_min, node_max)
+        w = len(children_of)
+        rows = np.zeros((w, 128), np.float32)
+        rows[:, 0:24] = BIG                  # empty child minima
+        rows[:, 24:48] = -BIG                # empty child maxima
+        rows[:, 48:56] = EMPTY_LINK
+        for wi, kids in enumerate(children_of):
+            for c, k in enumerate(kids):
+                rows[wi, 0 + c] = node_min[k, 0]
+                rows[wi, 8 + c] = node_min[k, 1]
+                rows[wi, 16 + c] = node_min[k, 2]
+                rows[wi, 24 + c] = node_max[k, 0]
+                rows[wi, 32 + c] = node_max[k, 1]
+                rows[wi, 40 + c] = node_max[k, 2]
+                rows[wi, 48 + c] = (-(leaf_ord[k] + 1.0) if is_leaf[k]
+                                    else float(wide_ord[k]))
+            rows[wi, 56] = float(axis_of[wi])
+        nodes_flat = rows
 
     # leaves: slot order is already leaf-contiguous
     s = len(tri_v0)
@@ -101,4 +160,4 @@ def pack_bvh(node_left, node_right, node_tri, node_min, node_max,
     leaves = np.zeros((max(n_leaves, 1), 128), np.float32)
     leaves[:n_leaves, : leaf_size * 9] = tri9.reshape(n_leaves,
                                                       leaf_size * 9)
-    return PackedBVH(nodes=nodes_flat, leaves=leaves)
+    return PackedBVH(nodes=nodes_flat, leaves=leaves, depth=depth)

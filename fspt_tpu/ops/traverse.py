@@ -5,29 +5,29 @@ TPU-native replacement for the reference's per-thread stack walk
 its own stack and scalar unit; a TPU core is one wide vector machine, so
 per-lane divergent walks and per-lane gathers are the enemy.  Instead, rays
 traverse in *packets* (ROWS x 128 lanes): all lanes of a packet walk one
-shared node sequence,
+shared node sequence over an **8-wide BVH** (ops/packing.py collapses the
+binary SAH tree at pack time),
 
   * the stack is scalar, in SMEM (one per packet, not per ray),
   * node/leaf records are fetched with *uniform* dynamic row slices from
     VMEM-resident tables (ops/packing.py layout) — no gathers anywhere,
-  * AABB slab tests and Moller-Trumbore run on all (ROWS, 128) lanes at
-    once on the VPU, against scalars extracted from the fetched row,
-  * descent decisions are packet votes: one sum-reduction encodes
-    "any lane wants left child" / "any lane wants right child",
-  * near/far ordering uses the packet's dominant direction sign — a
-    scalar heuristic, no per-lane reduction.
+  * one visit slab-tests all 8 children on (ROWS, 128) lanes at once on
+    the VPU, against scalars extracted from the fetched row — amortizing
+    the fetch/loop overhead over ~4x the pruning work of a binary visit,
+  * descent decisions are packet votes: a sum-reduction per child encodes
+    "any lane wants child c",
+  * near/far ordering is free: children are pre-sorted along the node's
+    principal axis at pack time, and the packet's dominant direction sign
+    on that axis picks forward/reverse push order (one scalar select).
 
 The kernel also returns the winning triangle's barycentrics (u, v), so
 shading never has to re-fetch triangle vertices (reference recomputes them
 per hit from texelFetch'd verts, tracer.fs:339-353).
 
-Measured on v5e: ~70 ns per visited node and ~63-130 ns per leaf for a
-1024-ray packet, vs ~0.5 ms per *step* for the XLA gather-based lockstep
-loop this replaces (≈3 orders of magnitude).
-
 Coherent packets (camera rays, mirror bounces) visit close to the union of
 their per-ray node sets; callers keep packets coherent by tiling the image
-(runtime/layout.py) and octant-sorting bounce rays.
+(runtime/layout.py) and sorting bounce rays by (direction octant, origin
+Morton code) — core/integrator.py sorted_intersect.
 """
 
 from __future__ import annotations
@@ -74,24 +74,21 @@ def _traverse_kernel(nodes_ref, leaves_ref, rays_ref,
 
     stack[0] = SENTINEL
 
-    def aabb(row, base, best_t):
-        b = [row[0, base + k] for k in range(6)]
-        t1x = (b[0] - ox) * ix
-        t2x = (b[3] - ox) * ix
-        t1y = (b[1] - oy) * iy
-        t2y = (b[4] - oy) * iy
-        t1z = (b[2] - oz) * iz
-        t2z = (b[5] - oz) * iz
+    def aabb(row, c, best_t):
+        # child c's slabs: grouped lanes [field*8 + c] (ops/packing.py)
+        t1x = (row[0, c] - ox) * ix
+        t2x = (row[0, 24 + c] - ox) * ix
+        t1y = (row[0, 8 + c] - oy) * iy
+        t2y = (row[0, 32 + c] - oy) * iy
+        t1z = (row[0, 16 + c] - oz) * iz
+        t2z = (row[0, 40 + c] - oz) * iz
         tmin = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
                                        jnp.minimum(t1y, t2y)),
                            jnp.minimum(t1z, t2z))
         tmax = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
                                        jnp.maximum(t1y, t2y)),
                            jnp.maximum(t1z, t2z))
-        want = (tmax >= tmin) & (tmax > 0.0) & (tmin < best_t)
-        # projected center along dominant direction: front-to-back key
-        proj = (sx * (b[0] + b[3]) + sy * (b[1] + b[4]) + sz * (b[2] + b[5]))
-        return want, proj
+        return (tmax >= tmin) & (tmax > 0.0) & (tmin < best_t)
 
     def mt(row, base, state, slot_base, k):
         best_t, best_slot, best_u, best_v = state
@@ -147,31 +144,39 @@ def _traverse_kernel(nodes_ref, leaves_ref, rays_ref,
 
         def node_branch(args):
             cur, ptr, bt, bs, bu, bv = args
-            row = nodes_ref[pl.ds(cur >> 3, 1), :]
-            base = (cur & 7) * 16
-            row = pltpu.roll(row, -base, axis=1)
-            lw, lproj = aabb(row, 0, bt)
-            rw, rproj = aabb(row, 6, bt)
-            llink = row[0, 12].astype(jnp.int32)
-            rlink = row[0, 13].astype(jnp.int32)
-            # one reduction: encode both votes in one sum
-            s = jnp.sum(jnp.where(lw, 1.0, 0.0)
-                        + jnp.where(rw, 4096.0, 0.0))
-            any_l = (s - jnp.floor(s / 4096.0) * 4096.0) > 0.0
-            any_r = s >= 4096.0
-            both = any_l & any_r
-            left_near = lproj <= rproj
-            near = jnp.where(left_near, llink, rlink)
-            far = jnp.where(left_near, rlink, llink)
-            one_child = jnp.where(any_l, llink, rlink)
-            # push far when both, descend near; else descend the one; else pop
-            push_at = jnp.where(both, jnp.minimum(ptr, stack_depth - 1), 0)
-            stack[push_at] = jnp.where(both, far, stack[0])
-            popped = stack[ptr - 1]
-            nptr = jnp.where(both, ptr + 1,
-                             jnp.where(any_l | any_r, ptr, ptr - 1))
-            ncur = jnp.where(both, near,
-                             jnp.where(any_l | any_r, one_child, popped))
+            row = nodes_ref[pl.ds(cur, 1), :]
+            # packet vote per child: 0/1 scalar "any lane wants child c".
+            # Empty child slots carry link EMPTY_LINK (< -1e8); the slab
+            # test alone cannot reject them (their "inverted" box reorders
+            # into [-BIG, +BIG] under the min/max slab form), so the vote
+            # is masked on link validity.
+            wants = [((jnp.sum(aabb(row, c, bt)) > 0)
+                      & (row[0, 48 + c] > -1.0e8)).astype(jnp.int32)
+                     for c in range(8)]
+            links = [row[0, 48 + c].astype(jnp.int32) for c in range(8)]
+            axis = row[0, 56].astype(jnp.int32)
+            # children are pre-sorted ascending along `axis` (pack time);
+            # push far-to-near so LIFO pops walk front-to-back along the
+            # packet's dominant direction sign on that axis
+            sgn = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+
+            def push(order, p):
+                for c in order:
+                    # unconditional store into the free slot; only wanted
+                    # children advance the pointer (unwanted writes are
+                    # overwritten or never popped)
+                    stack[jnp.minimum(p, stack_depth - 1)] = links[c]
+                    p = p + wants[c]
+                return p
+
+            p = jax.lax.cond(sgn >= 0.0,
+                             lambda p: push(range(7, -1, -1), p),
+                             lambda p: push(range(8), p), ptr)
+            nptr = p - 1
+            # clamp guards the SMEM read if stack_depth is undersized
+            # (packing.py sizes it from the wide-tree depth, so in-bounds
+            # in practice; the clamp only prevents a device fault)
+            ncur = stack[jnp.minimum(nptr, stack_depth - 1)]
             return ncur, nptr, bt, bs, bu, bv
 
         out = jax.lax.cond(is_leaf, leaf_branch, node_branch,

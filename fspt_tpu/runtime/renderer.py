@@ -115,7 +115,11 @@ class Renderer:
                 count=self.count, base_key=self.base_key,
                 sample_idx=self.sample_idx, pixel_idx=self.pixel_idx)
             self.sample_idx += 1
-        self.accum.block_until_ready()
+        # Fetch a scalar output of the final step rather than
+        # block_until_ready(): remote execution platforms (axon tunnels)
+        # treat block_until_ready as a local no-op, which silently turns
+        # step() into an async dispatch and corrupts stats/bench timings.
+        jax.device_get(self.count)
         dt = time.perf_counter() - t0
         self._stats["samples"] += num_batches * self.cfg.batch_spp
         self._stats["seconds"] += dt

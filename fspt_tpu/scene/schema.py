@@ -124,6 +124,9 @@ class SceneMeta:
     atlas_res: int
     atlas_layers: int
     leaf_size: int
+    # traversal stack bound for the packet kernel, sized from the 8-wide
+    # tree depth at pack time (ops/packing.py): max ptr <= 8 * (depth + 2)
+    pk_stack_depth: int = 64
 
 
 @dataclasses.dataclass
@@ -448,7 +451,8 @@ def load_scene_dict(scene: dict, loader: AssetLoader, leaf_size: int = 8,
 
     meta = SceneMeta(env_h=env.shape[0], env_w=env.shape[1],
                      atlas_res=atlas.shape[1], atlas_layers=atlas.shape[0],
-                     leaf_size=leaf_size)
+                     leaf_size=leaf_size,
+                     pk_stack_depth=8 * (pk.depth + 2))
 
     camera = CameraConfig(
         position=tuple(scene.get("cameraPos", [0.0, 0.0, 2.0])),
