@@ -58,11 +58,9 @@ class RenderConfig:
     # `i--`).  We run a static loop of `max_iters` segments with a per-lane
     # bounce budget; extra segments cover refraction chains.
     extra_refraction_iters: int = 4
-    samples: int = 2000            # sample cap (reference main.js:67)
     batch_spp: int = 1             # samples per jitted step
-    leaf_size: int = 8             # tris per leaf (reference uses 4, main.js:45;
-    # 8 halves node count and fits one 128-lane leaf row, ops/packing.py)
-    env_bins_cap: int = 256        # static upper bound on radiance bins
+    # (the sample cap, BVH leaf size and env-bin cap are *scene* properties:
+    # Scene.samples / Scene.leaf_size / load_scene's env_bins_cap)
     radiance_clamp: float = 1024.0 # reference tracer.fs:515
     emissive_scale: float = 30.0   # hardcoded ×30 (reference tracer.fs:467)
     max_t: float = 1.0e5           # reference tracer.fs:10 MAX_T
@@ -79,10 +77,6 @@ class RenderConfig:
     # README.md:33 "Light sampling is currently broken"); here it works.
     # Default off for estimator parity with the reference.
     use_light_nee: bool = False
-    # Ray-batch tile size (pixels per inner kernel launch); None = whole image
-    tile_pixels: Optional[int] = None
-    # sharding: name of mesh axis to shard pixels over (None = single device)
-    mesh_axis: Optional[str] = None
     # debug modes: "render" | "bvh_heatmap" (reference mode=test, bvh_test.fs)
     mode: str = "render"
     heatmap_scale: float = 0.001   # reference bvh_test.fs:229

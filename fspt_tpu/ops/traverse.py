@@ -132,7 +132,8 @@ def _traverse_kernel(nodes_ref, leaves_ref, rays_ref,
                 state = mt(row, 9 * k, state, slot_base, k)
             bt, bs, bu, bv = state
             nptr = ptr - 1
-            ncur = stack[nptr]
+            # same undersized-stack clamp as the node branch below
+            ncur = stack[jnp.minimum(nptr, stack_depth - 1)]
             if any_hit:
                 # stop once every live lane has a hit (parked lanes carry
                 # tmax <= 0 and count as done)

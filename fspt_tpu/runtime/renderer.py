@@ -214,8 +214,10 @@ class Renderer:
     def stats(self):
         s = dict(self._stats)
         n = self.cfg.width * self.cfg.height
-        # rays per sample ~= primary + per-iteration (scatter + shadow)
-        rays_per_sample = n * (1 + 2 * self.cfg.max_iters)
+        # rays per sample ~= primary + per-iteration batched segments
+        # (scatter + env shadow, + light shadow when light NEE is on)
+        segs = 3 if self.cfg.use_light_nee else 2
+        rays_per_sample = n * (1 + segs * self.cfg.max_iters)
         if s["seconds"] > 0:
             s["rays_per_s"] = s["samples"] * rays_per_sample / s["seconds"]
             s["spp_per_s"] = s["samples"] / s["seconds"]

@@ -16,8 +16,9 @@ leaf test is a fixed-size vector op with no per-leaf count gather.  The
 unpadded JS layout (processLeaf always reads LEAF_SIZE tris, overrunning into
 the next leaf, reference tracer.fs:355-364) is not reproduced.
 
-The O(N log N) build is fully vectorized per node; an optional C++ builder
-(fspt_tpu.native) accelerates large scenes with identical output.
+This full-sweep builder is the semantics oracle; large scenes use the fast
+binned-SAH builder in scene/fastbvh.py (NumPy vectorized, with an optional
+C++ core) which produces the same array schema.
 """
 
 from __future__ import annotations

@@ -11,7 +11,7 @@ from fspt_tpu.runtime.renderer import Renderer
 
 def _small_cfg(**kw):
     base = dict(width=32, height=24, bounces=2, extra_refraction_iters=1,
-                batch_spp=1, env_bins_cap=256)
+                batch_spp=1)
     base.update(kw)
     return RenderConfig(**base)
 
