@@ -29,12 +29,16 @@ def decode_rgbe(pixels: np.ndarray) -> np.ndarray:
 
 def encode_rgbe(radiance: np.ndarray) -> np.ndarray:
     """(H, W, 3) float -> (H, W, 4) uint8 RGBE, inverse of decode_rgbe."""
-    r = np.maximum(radiance, 0.0)
+    r = np.maximum(radiance, 0.0).astype(np.float32)
     maxc = r.max(axis=-1)
-    e = np.where(maxc > 1e-32, np.ceil(np.log2(np.maximum(maxc, 1e-32) / (255.0 / 256.0))), -128.0)
+    e = np.where(maxc > 1e-32,
+                 np.ceil(np.log2(np.maximum(maxc, np.float32(1e-32))
+                                 / np.float32(255.0 / 256.0))),
+                 np.float32(-128.0)).astype(np.float32)
     scale = np.exp2(e)
     rgb = np.clip(np.round(r / scale[..., None] * 255.0), 0, 255)
-    return np.concatenate([rgb, (e + 128.0)[..., None]], axis=-1).astype(np.uint8)
+    return np.concatenate(
+        [rgb, (e + 128.0)[..., None]], axis=-1).astype(np.uint8)
 
 
 def gradient_environment(stops: Sequence[Sequence[float]], height: int = 2048) -> np.ndarray:

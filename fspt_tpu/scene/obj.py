@@ -57,6 +57,42 @@ def _wrap_index(idx: int, count: int) -> int:
     return count + idx + 1 if idx < 1 else idx
 
 
+def _parse_faces(bodies: List[str]) -> np.ndarray:
+    """Face-line bodies -> (T, 3 corners, 3 fields[v,t,n]) int64 triangles.
+
+    Fast path (one NumPy parse) when every face is a triangle with a uniform
+    corner format (v, v/t, v/t/n, or v//n); anything else — n-gons needing
+    fan triangulation, mixed formats — takes the general per-token loop."""
+    blob = " ".join(bodies)
+    specs_n = len(blob.split())
+    if specs_n == 3 * len(bodies):
+        has_hole = "//" in blob
+        probe = blob.replace("//", "/0/") if has_hole else blob
+        first = probe.split(None, 1)[0] if probe else ""
+        c = first.count("/")
+        if c <= 2 and probe.count("/") == c * specs_n:
+            flat = np.array(probe.replace("/", " ").split(), np.float64)
+            if len(flat) == specs_n * (c + 1):   # no empty fields anywhere
+                tri = flat.astype(np.int64).reshape(-1, 3, c + 1)
+                out = np.zeros((len(tri), 3, 3), np.int64)
+                out[:, :, : c + 1] = tri
+                return out
+
+    faces = []
+    for body in bodies:
+        corners = []
+        for spec in body.split():
+            fields = spec.split("/")
+            vi = int(float(fields[0]))
+            ti = int(float(fields[1])) if len(fields) > 1 and fields[1] else 0
+            ni = int(float(fields[2])) if len(fields) > 2 and fields[2] else 0
+            corners.append((vi, ti, ni))
+        # fan triangulation (obj_loader.js:54-60)
+        for i in range(len(corners) - 2):
+            faces.append((corners[0], corners[i + 1], corners[i + 2]))
+    return np.asarray(faces, dtype=np.int64).reshape(-1, 3, 3)
+
+
 def parse_obj(text: str, prop: Optional[dict] = None,
               world_transforms=None) -> ParsedMesh:
     """Parse OBJ text applying prop transforms.
@@ -71,57 +107,60 @@ def parse_obj(text: str, prop: Optional[dict] = None,
     normals_mode = prop.get("normals", "flat")
     skips = set(prop.get("skips", []))
 
-    vertices: List[List[float]] = []
+    vertex_bodies: List[str] = []
     uvs: List[List[float]] = []
     mesh_normals: List[List[float]] = []
     mtllib: Optional[str] = None
 
     current = DEFAULT_GROUP
-    # group name -> list of (corner_spec) triples; each corner is (vi, ti, ni)
-    group_faces: Dict[str, List] = {}
+    # group name -> list of face-line bodies ("1/1 3/3 2/2"); parsed in a
+    # vectorized batch per group below (the reference parses per-token in JS,
+    # obj_loader.js:103-116 — at 100k-face scales that loop dominates scene
+    # compile, so the common formats go through one NumPy parse instead)
+    group_bodies: Dict[str, List[str]] = {}
     group_order: List[str] = []
 
     for raw in text.split("\n"):
-        parts = raw.strip().split()
-        if not parts:
+        s = raw.strip()
+        if not s:
             continue
-        tag = parts[0]
-        vals = parts[1:]
+        tag, _, body = s.partition(" ")
         if tag == "v":
-            vertices.append([float(x) for x in vals[:3]])
+            vertex_bodies.append(body)
         elif tag == "vt":
+            vals = body.split()
             u = float(vals[0]) if vals else 0.0
             v = float(vals[1]) if len(vals) > 1 else 0.0
             uvs.append([u, v])
         elif tag == "vn":
-            mesh_normals.append([float(x) for x in vals[:3]])
+            mesh_normals.append([float(x) for x in body.split()[:3]])
         elif tag == "usemtl":
-            current = " ".join(vals)
+            current = body.strip()
         elif tag == "mtllib":
-            mtllib = " ".join(vals)
+            mtllib = body.strip()
         elif tag == "f" and current not in skips:
-            corners = []
-            for spec in vals:
-                fields = spec.split("/")
-                vi = int(float(fields[0]))
-                ti = int(float(fields[1])) if len(fields) > 1 and fields[1] else 0
-                ni = int(float(fields[2])) if len(fields) > 2 and fields[2] else 0
-                corners.append((vi, ti, ni))
-            if current not in group_faces:
-                group_faces[current] = []
+            if current not in group_bodies:
+                group_bodies[current] = []
                 group_order.append(current)
-            faces = group_faces[current]
-            # fan triangulation (obj_loader.js:54-60)
-            for i in range(len(corners) - 2):
-                faces.append((corners[0], corners[i + 1], corners[i + 2]))
+            group_bodies[current].append(body)
 
-    verts_arr = np.asarray(vertices, dtype=np.float64).reshape(-1, 3)
+    # batch-parse vertices (token count can exceed 3: "v x y z w")
+    vtok = (" ".join(vertex_bodies)).split()
+    if len(vtok) == 3 * len(vertex_bodies):
+        verts_arr = np.array(vtok, dtype=np.float64).reshape(-1, 3)
+    else:
+        verts_arr = np.array(
+            [[float(x) for x in b.split()[:3]] for b in vertex_bodies],
+            dtype=np.float64).reshape(-1, 3)
+    group_faces = {name: _parse_faces(bodies)
+                   for name, bodies in group_bodies.items()}
+
     uv_arr = (np.asarray(uvs, dtype=np.float64).reshape(-1, 2)
               if uvs else np.zeros((0, 2)))
     vn_arr = (np.asarray(mesh_normals, dtype=np.float64).reshape(-1, 3)
               if mesh_normals else np.zeros((0, 3)))
 
-    n_verts = len(vertices)
+    n_verts = len(verts_arr)
     n_vn = len(mesh_normals)
 
     # Transform all vertices once (vectorized).
@@ -145,10 +184,9 @@ def parse_obj(text: str, prop: Optional[dict] = None,
     # First pass per group: resolve indices, gather corner attributes.
     staged = []  # (name, vidx (T,3), tidx (T,3), nidx (T,3))
     for name in group_order:
-        faces = group_faces[name]
-        if not faces:
+        tri = group_faces[name]                       # (T, 3, 3) corner fields
+        if len(tri) == 0:
             continue
-        tri = np.asarray(faces, dtype=np.int64)       # (T, 3, 3) corner fields
         vidx = tri[:, :, 0]
         tidx = tri[:, :, 1]
         nidx = tri[:, :, 2]
@@ -159,9 +197,12 @@ def parse_obj(text: str, prop: Optional[dict] = None,
         if normals_mode != "mesh":
             tv = xverts[vidx]                          # (T, 3, 3)
             fn = _face_normals(tv)                     # (T, 3)
-            for c in range(3):
-                np.add.at(vert_normal_sum, vidx[:, c], fn)
-                np.add.at(vert_normal_cnt, vidx[:, c], 1.0)
+            flat_idx = vidx.reshape(-1)                # corner-major
+            m = len(vert_normal_sum)
+            for comp in range(3):
+                vert_normal_sum[:, comp] += np.bincount(
+                    flat_idx, weights=np.repeat(fn[:, comp], 3), minlength=m)
+            vert_normal_cnt += np.bincount(flat_idx, minlength=m)
 
     groups: List[MeshGroup] = []
     bmin = np.full(3, np.inf)

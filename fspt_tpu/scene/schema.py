@@ -263,17 +263,23 @@ def _resolve_material(prop: dict, group: MeshGroup, packer: TexturePacker,
 
 
 def load_scene_file(path: str, leaf_size: int = 8,
-                    env_bins_cap: int = 256) -> Scene:
+                    env_bins_cap: int = 256, builder: str = "auto") -> Scene:
     root = os.path.dirname(os.path.abspath(path))
     with open(path) as f:
         scene = json.load(f)
     return load_scene_dict(scene, AssetLoader(root), leaf_size=leaf_size,
-                           env_bins_cap=env_bins_cap,
+                           env_bins_cap=env_bins_cap, builder=builder,
                            name=os.path.splitext(os.path.basename(path))[0])
 
 
+# above this, "auto" switches from the full-sweep oracle builder to the
+# binned-SAH one (native C++ when a compiler exists, scene/fastbvh.py)
+_FAST_BUILD_THRESHOLD = 4096
+
+
 def load_scene_dict(scene: dict, loader: AssetLoader, leaf_size: int = 8,
-                    env_bins_cap: int = 256, name: str = "scene") -> Scene:
+                    env_bins_cap: int = 256, name: str = "scene",
+                    builder: str = "auto") -> Scene:
     # ---- environment ----------------------------------------------------
     env_spec = scene.get("environment")
     if isinstance(env_spec, str):
@@ -335,7 +341,16 @@ def load_scene_dict(scene: dict, loader: AssetLoader, leaf_size: int = 8,
 
     # ---- BVH + slot ordering -------------------------------------------
     tri_min, tri_max = triangle_aabbs(verts)
-    bvh: BVHArrays = build_bvh(tri_min, tri_max, leaf_size=leaf_size)
+    if builder == "auto":
+        builder = ("binned" if len(verts) > _FAST_BUILD_THRESHOLD
+                   else "sweep")
+    if builder == "binned":
+        from fspt_tpu.scene.fastbvh import build_bvh_fast
+        bvh: BVHArrays = build_bvh_fast(tri_min, tri_max, leaf_size=leaf_size)
+    elif builder == "sweep":
+        bvh = build_bvh(tri_min, tri_max, leaf_size=leaf_size)
+    else:
+        raise ValueError(f"unknown builder {builder!r}")
 
     slot = bvh.slot_tri                      # (S,) original tri index or -1
     pad = slot < 0

@@ -61,26 +61,32 @@ def icosphere_obj(subdivisions: int = 2) -> str:
         (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
         (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1),
     ]
-    verts = [tuple(v) for v in verts]
-    cache: Dict = {}
+    faces = np.asarray(faces, dtype=np.int64)
 
-    def midpoint(i, j):
-        key = (min(i, j), max(i, j))
-        if key in cache:
-            return cache[key]
-        a, b = np.array(verts[i]), np.array(verts[j])
-        m = (a + b) / 2.0
-        m /= np.linalg.norm(m)
-        verts.append(tuple(m))
-        cache[key] = len(verts) - 1
-        return cache[key]
-
+    # Vectorized midpoint subdivision with np.unique edge dedup, preserving
+    # the exact vertex/face emission order of the original per-face loop
+    # (midpoints numbered in first-encounter order over (a,b),(b,c),(c,a)
+    # per face) so BVH-structure-sensitive goldens stay stable.
     for _ in range(subdivisions):
-        new_faces = []
-        for (a, b, c) in faces:
-            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
-            new_faces += [(a, ab, ca), (b, bc, ab), (c, ca, bc), (ab, bc, ca)]
-        faces = new_faces
+        a, b, c = faces[:, 0], faces[:, 1], faces[:, 2]
+        edges = np.stack([np.stack([a, b], 1), np.stack([b, c], 1),
+                          np.stack([c, a], 1)], axis=1).reshape(-1, 2)
+        edges = np.sort(edges, axis=1)
+        uniq, first_idx, inv = np.unique(edges, axis=0, return_index=True,
+                                         return_inverse=True)
+        rank = np.empty(len(uniq), dtype=np.int64)
+        rank[np.argsort(first_idx, kind="stable")] = np.arange(len(uniq))
+        mids = verts[uniq[:, 0]] + verts[uniq[:, 1]]
+        mids /= np.linalg.norm(mids, axis=1, keepdims=True)
+        fe_order = np.argsort(rank, kind="stable")   # uniq idx per new vertex
+        base = len(verts)
+        verts = np.concatenate([verts, mids[fe_order]])
+        new_id = base + rank[inv].reshape(-1, 3)     # (F, 3): ab, bc, ca
+        ab, bc, ca = new_id[:, 0], new_id[:, 1], new_id[:, 2]
+        faces = np.stack([
+            np.stack([a, ab, ca], 1), np.stack([b, bc, ab], 1),
+            np.stack([c, ca, bc], 1), np.stack([ab, bc, ca], 1)],
+            axis=1).reshape(-1, 3)
 
     buf = io.StringIO()
     for v in verts:
