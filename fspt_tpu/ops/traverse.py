@@ -14,11 +14,19 @@ binary SAH tree at pack time),
   * one visit slab-tests all 8 children on (ROWS, 128) lanes at once on
     the VPU, against scalars extracted from the fetched row — amortizing
     the fetch/loop overhead over ~4x the pruning work of a binary visit,
-  * descent decisions are packet votes: a sum-reduction per child encodes
-    "any lane wants child c",
+  * descent decisions are packet votes: per-child "any lane wants child c"
+    bits, packed in pairs into 4 exact-integer f32 sum-reductions (a
+    measured ~2x cheaper than 8 separate cross-lane reductions),
   * near/far ordering is free: children are pre-sorted along the node's
     principal axis at pack time, and the packet's dominant direction sign
-    on that axis picks forward/reverse push order (one scalar select).
+    on that axis picks forward/reverse push order with scalar selects
+    (no branch),
+  * **K packets traverse concurrently in one program** (`interleave`):
+    each serial while-loop step advances K independent walks, so the
+    scalar-unit latency chain of one walk (row fetch -> extracts -> vote
+    -> stack ops) overlaps the vector work of the others.  Round-1
+    profiling measured ~900-1250 ns per visit with K=1 against a
+    ~150-250 ns vector-work floor — the gap is exactly this latency.
 
 The kernel also returns the winning triangle's barycentrics (u, v), so
 shading never has to re-fetch triangle vertices (reference recomputes them
@@ -47,19 +55,22 @@ MAX_T = 1.0e5          # reference tracer.fs:10
 SENTINEL = np.int32(np.iinfo(np.int32).min)   # stack-empty marker
 ROWS = 8               # sublanes per packet => packet = ROWS * 128 rays
 PACKET = ROWS * 128
+INTERLEAVE = 1         # concurrent walks per program.  Measured on v5e:
+#                        interleaving does NOT pay (662 ns/visit at K=1 vs
+#                        698 at K=4 on camera packets) — the walk is scalar
+#                        issue-throughput-bound, not latency-bound — so the
+#                        default stays 1; the knob remains for other chips.
 
 
-def _traverse_kernel(nodes_ref, leaves_ref, rays_ref,
-                     t_ref, slot_ref, u_ref, v_ref, visits_ref, stack,
-                     *, leaf_size: int, any_hit: bool, stack_depth: int):
-    f32 = jnp.float32
-    ox = rays_ref[0, 0 * ROWS:1 * ROWS]
-    oy = rays_ref[0, 1 * ROWS:2 * ROWS]
-    oz = rays_ref[0, 2 * ROWS:3 * ROWS]
-    dx = rays_ref[0, 3 * ROWS:4 * ROWS]
-    dy = rays_ref[0, 4 * ROWS:5 * ROWS]
-    dz = rays_ref[0, 5 * ROWS:6 * ROWS]
-    t_init = rays_ref[0, 6 * ROWS:7 * ROWS]
+def _packet_state(rays_ref, k, *, leaf_size, any_hit):
+    """Per-packet ray constants + step function for one traversal walk."""
+    ox = rays_ref[k, 0 * ROWS:1 * ROWS]
+    oy = rays_ref[k, 1 * ROWS:2 * ROWS]
+    oz = rays_ref[k, 2 * ROWS:3 * ROWS]
+    dx = rays_ref[k, 3 * ROWS:4 * ROWS]
+    dy = rays_ref[k, 4 * ROWS:5 * ROWS]
+    dz = rays_ref[k, 5 * ROWS:6 * ROWS]
+    t_init = rays_ref[k, 6 * ROWS:7 * ROWS]
 
     def safe_inv(d):
         return 1.0 / jnp.where(jnp.abs(d) < 1e-20,
@@ -68,11 +79,9 @@ def _traverse_kernel(nodes_ref, leaves_ref, rays_ref,
     ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
     # packet-dominant direction signs for near/far ordering (scalars)
-    sx = jnp.where(jnp.sum(dx) >= 0.0, f32(1.0), f32(-1.0))
-    sy = jnp.where(jnp.sum(dy) >= 0.0, f32(1.0), f32(-1.0))
-    sz = jnp.where(jnp.sum(dz) >= 0.0, f32(1.0), f32(-1.0))
-
-    stack[0] = SENTINEL
+    sx = jnp.sum(dx) >= 0.0
+    sy = jnp.sum(dy) >= 0.0
+    sz = jnp.sum(dz) >= 0.0
 
     def aabb(row, c, best_t):
         # child c's slabs: grouped lanes [field*8 + c] (ops/packing.py)
@@ -90,9 +99,9 @@ def _traverse_kernel(nodes_ref, leaves_ref, rays_ref,
                            jnp.maximum(t1z, t2z))
         return (tmax >= tmin) & (tmax > 0.0) & (tmin < best_t)
 
-    def mt(row, base, state, slot_base, k):
+    def mt(row, base, state, slot_base, j):
         best_t, best_slot, best_u, best_v = state
-        c = [row[0, base + j] for j in range(9)]
+        c = [row[0, base + i] for i in range(9)]
         px = dy * c[8] - dz * c[7]
         py = dz * c[6] - dx * c[8]
         pz = dx * c[7] - dy * c[6]
@@ -110,30 +119,22 @@ def _traverse_kernel(nodes_ref, leaves_ref, rays_ref,
         ok = ((jnp.abs(det) >= 1e-6) & (u >= 0.0) & (u <= 1.0)
               & (w >= 0.0) & (u + w <= 1.0) & (t > 1e-6) & (t < best_t))
         return (jnp.where(ok, t, best_t),
-                jnp.where(ok, slot_base + k, best_slot),
+                jnp.where(ok, slot_base + j, best_slot),
                 jnp.where(ok, u, best_u),
                 jnp.where(ok, w, best_v))
 
-    def cond(carry):
-        cur = carry[0]
-        return cur != SENTINEL
-
-    def body(carry):
-        cur, ptr, best_t, best_slot, best_u, best_v, visits = carry
-        is_leaf = cur < 0
-
+    def make_step(nodes_ref, leaves_ref, stack, stack_depth):
         def leaf_branch(args):
             cur, ptr, bt, bs, bu, bv = args
             leaf = -cur - 1
             row = leaves_ref[pl.ds(leaf, 1), :]
             slot_base = leaf * leaf_size
             state = (bt, bs, bu, bv)
-            for k in range(leaf_size):
-                state = mt(row, 9 * k, state, slot_base, k)
+            for j in range(leaf_size):
+                state = mt(row, 9 * j, state, slot_base, j)
             bt, bs, bu, bv = state
             nptr = ptr - 1
-            # same undersized-stack clamp as the node branch below
-            ncur = stack[jnp.minimum(nptr, stack_depth - 1)]
+            ncur = stack[k, jnp.minimum(nptr, stack_depth - 1)]
             if any_hit:
                 # stop once every live lane has a hit (parked lanes carry
                 # tmax <= 0 and count as done)
@@ -146,55 +147,104 @@ def _traverse_kernel(nodes_ref, leaves_ref, rays_ref,
         def node_branch(args):
             cur, ptr, bt, bs, bu, bv = args
             row = nodes_ref[pl.ds(cur, 1), :]
-            # packet vote per child: 0/1 scalar "any lane wants child c".
-            # Empty child slots carry link EMPTY_LINK (< -1e8); the slab
-            # test alone cannot reject them (their "inverted" box reorders
-            # into [-BIG, +BIG] under the min/max slab form), so the vote
-            # is masked on link validity.
-            wants = [((jnp.sum(aabb(row, c, bt)) > 0)
-                      & (row[0, 48 + c] > -1.0e8)).astype(jnp.int32)
-                     for c in range(8)]
+            # Packet vote per child ("any lane's slab test passes"), packed
+            # pairwise: sum over lanes of hit(2i) + 4096*hit(2i+1) is exact
+            # in f32 (max 1024 + 1024*4096 < 2^24), so 4 reductions yield
+            # all 8 any-bits.  Empty child slots carry link EMPTY_LINK
+            # (< -1e8); the slab test alone cannot reject them (their
+            # "inverted" box reorders into [-BIG, +BIG] under the min/max
+            # slab form), so the vote is masked on link validity scalar-side.
+            pair = [jnp.sum(aabb(row, 2 * i, bt).astype(jnp.float32)
+                            + aabb(row, 2 * i + 1, bt).astype(jnp.float32)
+                            * 4096.0)
+                    for i in range(4)]
             links = [row[0, 48 + c].astype(jnp.int32) for c in range(8)]
+            wants = []
+            for i in range(4):
+                hi = jnp.floor(pair[i] * (1.0 / 4096.0))
+                lo = pair[i] - hi * 4096.0
+                wants.append(((lo > 0.0)
+                              & (row[0, 48 + 2 * i] > -1.0e8)).astype(jnp.int32))
+                wants.append(((hi > 0.0)
+                              & (row[0, 48 + 2 * i + 1] > -1.0e8)).astype(jnp.int32))
             axis = row[0, 56].astype(jnp.int32)
             # children are pre-sorted ascending along `axis` (pack time);
             # push far-to-near so LIFO pops walk front-to-back along the
-            # packet's dominant direction sign on that axis
-            sgn = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
-
-            def push(order, p):
-                for c in order:
-                    # unconditional store into the free slot; only wanted
-                    # children advance the pointer (unwanted writes are
-                    # overwritten or never popped)
-                    stack[jnp.minimum(p, stack_depth - 1)] = links[c]
-                    p = p + wants[c]
-                return p
-
-            p = jax.lax.cond(sgn >= 0.0,
-                             lambda p: push(range(7, -1, -1), p),
-                             lambda p: push(range(8), p), ptr)
+            # packet's dominant direction sign on that axis.  Reverse-order
+            # pushes are scalar selects, not a branch.
+            fwd = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+            p = ptr
+            top = cur
+            for j in range(8):
+                link_j = jnp.where(fwd, links[7 - j], links[j])
+                want_j = jnp.where(fwd, wants[7 - j], wants[j])
+                # unconditional store into the free slot; only wanted
+                # children advance the pointer (unwanted writes land in the
+                # next free slot and are overwritten or never popped)
+                stack[k, jnp.minimum(p, stack_depth - 1)] = link_j
+                top = jnp.where(want_j > 0, link_j, top)
+                p = p + want_j
             nptr = p - 1
-            # clamp guards the SMEM read if stack_depth is undersized
-            # (packing.py sizes it from the wide-tree depth, so in-bounds
-            # in practice; the clamp only prevents a device fault)
-            ncur = stack[jnp.minimum(nptr, stack_depth - 1)]
+            # top-of-stack is carried in registers: the last wanted push is
+            # the next node, so the SMEM pop read is only consulted when
+            # nothing was pushed.  The min-clamp guards the read if
+            # stack_depth is undersized (packing.py sizes it from the wide-
+            # tree depth; the clamp only prevents a device fault).
+            popped = stack[k, jnp.minimum(nptr, stack_depth - 1)]
+            ncur = jnp.where(p > ptr, top, popped)
             return ncur, nptr, bt, bs, bu, bv
 
-        out = jax.lax.cond(is_leaf, leaf_branch, node_branch,
-                           (cur, ptr, best_t, best_slot, best_u, best_v))
-        return out + (visits + 1,)
+        def step(st):
+            cur, ptr, bt, bs, bu, bv, vis = st
+
+            def active(args):
+                out = jax.lax.cond(args[0] < 0, leaf_branch, node_branch,
+                                   args)
+                return out
+
+            out = jax.lax.cond(cur == SENTINEL,
+                               lambda a: a, active,
+                               (cur, ptr, bt, bs, bu, bv))
+            vis = vis + jnp.where(cur == SENTINEL, 0, 1).astype(jnp.int32)
+            return out + (vis,)
+
+        return step
 
     zeros = jnp.zeros((ROWS, 128), jnp.float32)
     init = (jnp.int32(0), jnp.int32(1), t_init,
             jnp.full((ROWS, 128), -1, jnp.int32), zeros, zeros, jnp.int32(0))
-    (cur, ptr, best_t, best_slot, best_u, best_v,
-     visits) = jax.lax.while_loop(cond, body, init)
+    return init, make_step
 
-    t_ref[0] = best_t
-    slot_ref[0] = best_slot
-    u_ref[0] = best_u
-    v_ref[0] = best_v
-    visits_ref[0] = jnp.full((ROWS, 128), visits, jnp.int32)
+
+def _traverse_kernel(nodes_ref, leaves_ref, rays_ref,
+                     t_ref, slot_ref, u_ref, v_ref, visits_ref, stack,
+                     *, leaf_size: int, any_hit: bool, stack_depth: int,
+                     interleave: int):
+    inits, steps = [], []
+    for k in range(interleave):
+        init, make_step = _packet_state(rays_ref, k, leaf_size=leaf_size,
+                                        any_hit=any_hit)
+        stack[k, 0] = SENTINEL
+        inits.append(init)
+        steps.append(make_step(nodes_ref, leaves_ref, stack, stack_depth))
+
+    def cond(carry):
+        alive = carry[0][0] != SENTINEL
+        for k in range(1, interleave):
+            alive = alive | (carry[k][0] != SENTINEL)
+        return alive
+
+    def body(carry):
+        return tuple(steps[k](carry[k]) for k in range(interleave))
+
+    out = jax.lax.while_loop(cond, body, tuple(inits))
+    for k in range(interleave):
+        cur, ptr, best_t, best_slot, best_u, best_v, visits = out[k]
+        t_ref[k] = best_t
+        slot_ref[k] = best_slot
+        u_ref[k] = best_u
+        v_ref[k] = best_v
+        visits_ref[k] = jnp.full((ROWS, 128), visits, jnp.int32)
 
 
 class PacketHit(NamedTuple):
@@ -206,19 +256,23 @@ class PacketHit(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("leaf_size", "any_hit",
-                                             "stack_depth", "interpret"))
+                                             "stack_depth", "interpret",
+                                             "interleave"))
 def packet_traverse(nodes, leaves, origin: V3, direction: V3, tmax=None, *,
                     leaf_size: int = 8, any_hit: bool = False,
                     stack_depth: int = 64,
-                    interpret: bool = False) -> PacketHit:
-    """Traverse packed BVH tables for N rays (padded to PACKET internally).
+                    interpret: bool = False,
+                    interleave: int = INTERLEAVE) -> PacketHit:
+    """Traverse packed BVH tables for N rays (padded to a multiple of
+    interleave * PACKET internally).
 
     nodes/leaves: arrays from ops/packing.pack_bvh, device-resident.
     origin/direction: V3 of flat (N,) f32 planes.  tmax: optional (N,) f32
     per-ray clip (defaults to MAX_T).  Misses keep t == tmax, slot == -1.
     """
     n = origin.x.shape[0]
-    n_pad = (-n) % PACKET
+    group = interleave * PACKET
+    n_pad = (-n) % group
     if tmax is None:
         tmax = jnp.full((n,), MAX_T, jnp.float32)
 
@@ -242,25 +296,26 @@ def packet_traverse(nodes, leaves, origin: V3, direction: V3, tmax=None, *,
     ], axis=1)
 
     kernel = functools.partial(_traverse_kernel, leaf_size=leaf_size,
-                               any_hit=any_hit, stack_depth=stack_depth)
-    out_block = pl.BlockSpec((1, ROWS, 128), lambda i: (i, 0, 0),
+                               any_hit=any_hit, stack_depth=stack_depth,
+                               interleave=interleave)
+    out_block = pl.BlockSpec((interleave, ROWS, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((npk, ROWS, 128), jnp.float32)
     out_shape_i = jax.ShapeDtypeStruct((npk, ROWS, 128), jnp.int32)
     t, slot, u, v, visits = pl.pallas_call(
         kernel,
-        grid=(npk,),
+        grid=(npk // interleave,),
         in_specs=[
             pl.BlockSpec(nodes.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(leaves.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 7 * ROWS, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((interleave, 7 * ROWS, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_block] * 5,
         out_shape=[out_shape, out_shape_i, out_shape, out_shape, out_shape_i],
-        scratch_shapes=[pltpu.SMEM((stack_depth,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((interleave, stack_depth), jnp.int32)],
         interpret=interpret,
     )(nodes, leaves, rays)
 

@@ -126,3 +126,47 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def sweep_interleave():
+    """A/B interleave factors on coherent + incoherent ray sets."""
+    subdiv = int(os.environ.get("FSPT_BENCH_SUBDIV", "6"))
+    size = int(os.environ.get("FSPT_BENCH_SIZE", "512"))
+    scene = make_bunny_standin_scene(subdivisions=subdiv)
+    arrays = scene.device_arrays()
+    meta = scene.meta
+    n = size * size
+    npk = n // PACKET
+
+    cam = CameraState.from_config(scene.camera)
+    pixel_idx = jnp.asarray(tile_order(size, size), jnp.int32)
+    key = jax.random.key(0)
+    cam_u = stream_uniforms(key, 0, (4, n))
+    origin, direction = generate_rays(cam.position, cam.direction,
+                                      cam.fov_scale, cam.focal_depth,
+                                      cam.aperture, (size, size), cam_u,
+                                      pixel_idx=pixel_idx)
+    k2 = jax.random.key(1)
+    u = jax.random.uniform(k2, (6, n))
+    wmin = np.asarray(arrays.node_min[0])
+    wmax = np.asarray(arrays.node_max[0])
+    o = V3(*(u[i] * (wmax[i] - wmin[i]) + wmin[i] for i in range(3)))
+    z = u[3] * 2 - 1
+    phi = u[4] * 2 * np.pi
+    s = jnp.sqrt(jnp.maximum(1 - z * z, 0))
+    d = V3(s * jnp.cos(phi), s * jnp.sin(phi), z)
+
+    for il in (1, 2, 4, 8):
+        trav = jax.jit(lambda o_, d_, il=il: packet_traverse(
+            arrays.pk_nodes, arrays.pk_leaves, o_, d_,
+            leaf_size=meta.leaf_size, stack_depth=meta.pk_stack_depth,
+            interpret=_use_interpret(), interleave=il))
+        dt, hit = timeit(trav, origin, direction)
+        visits = np.asarray(hit.visits).reshape(npk, PACKET)[:, 0]
+        tv = float(visits.sum())
+        dt2, hit2 = timeit(trav, o, d)
+        visits2 = np.asarray(hit2.visits).reshape(npk, PACKET)[:, 0]
+        tv2 = float(visits2.sum())
+        print(f"il={il}: camera {dt*1e3:7.2f} ms {n/dt/1e6:7.1f} Mray/s "
+              f"ns/visit={dt/tv*1e9:5.0f} | random {dt2*1e3:7.2f} ms "
+              f"{n/dt2/1e6:6.1f} Mray/s ns/visit={dt2/tv2*1e9:5.0f}")
