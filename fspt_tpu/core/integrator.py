@@ -118,15 +118,25 @@ def sorted_intersect(scene, cfg: RenderConfig, meta, origin: V3,
     lane = jnp.arange(n, dtype=jnp.int32)
     if tmax is None:
         tmax = jnp.full((n,), cfg.max_t, jnp.float32)
-    key, lane_s, ox, oy, oz, dx, dy, dz, tm = jax.lax.sort(
-        (sg(key), lane, sg(origin.x), sg(origin.y), sg(origin.z),
-         sg(direction.x), sg(direction.y), sg(direction.z), sg(tmax)),
-        num_keys=2, is_stable=False)
-    hit = intersect(scene, cfg, meta, V3(ox, oy, oz), V3(dx, dy, dz),
-                    tmax=tm, any_hit=any_hit)
-    inv = jnp.argsort(lane_s)
-    return PacketHit(t=hit.t[inv], slot=hit.slot[inv], u=hit.u[inv],
-                     v=hit.v[inv], visits=hit.visits[inv])
+    # Sort only (key, lane) and move the 7 ray planes with ONE (N, 7) row
+    # gather; un-permute the 5 hit planes with ONE row scatter.  Measured on
+    # v5e at 524k rays: the previous 9-operand sort + argsort + 5 plane
+    # gathers cost ~53 ms; this form costs ~17 ms.  slot/visits ride the f32
+    # rows exactly (values < 2^24).
+    _, perm = jax.lax.sort((sg(key), lane), num_keys=2, is_stable=False)
+    rays = sg(jnp.stack([origin.x, origin.y, origin.z, direction.x,
+                         direction.y, direction.z, tmax], axis=-1))[perm]
+    hit = intersect(scene, cfg, meta,
+                    V3(rays[:, 0], rays[:, 1], rays[:, 2]),
+                    V3(rays[:, 3], rays[:, 4], rays[:, 5]),
+                    tmax=rays[:, 6], any_hit=any_hit)
+    packed = jnp.stack([hit.t, hit.slot.astype(jnp.float32), hit.u, hit.v,
+                        hit.visits.astype(jnp.float32)], axis=-1)
+    out = jnp.zeros_like(packed).at[perm].set(packed, unique_indices=True,
+                                              mode="promise_in_bounds")
+    return PacketHit(t=out[:, 0], slot=out[:, 1].astype(jnp.int32),
+                     u=out[:, 2], v=out[:, 3],
+                     visits=out[:, 4].astype(jnp.int32))
 
 
 def _intersect_brute(scene, cfg, origin: V3, direction: V3) -> PacketHit:
@@ -180,10 +190,14 @@ def atlas_fetch_rgb(scene, meta, layer, u, v) -> V3:
     w01 = (1 - fx) * fy
     w11 = fx * fy
 
-    def ch(p):
-        return p[i00] * w00 + p[i10] * w10 + p[i01] * w01 + p[i11] * w11
-
-    return V3(ch(scene.atlas_r), ch(scene.atlas_g), ch(scene.atlas_b))
+    # One (N, 3) row gather per corner instead of 3 scalar-plane gathers
+    # (TPU gathers cost per-index, not per-byte — see ops/traverse.py and
+    # scripts/perf_gather.py); the RGB stack is CSE'd across the four map
+    # fetches of a shading iteration.
+    rows = jnp.stack([scene.atlas_r, scene.atlas_g, scene.atlas_b], axis=-1)
+    out = (rows[i00] * w00[:, None] + rows[i10] * w10[:, None]
+           + rows[i01] * w01[:, None] + rows[i11] * w11[:, None])
+    return V3(out[:, 0], out[:, 1], out[:, 2])
 
 
 class PathState(NamedTuple):
@@ -242,30 +256,58 @@ def _shade_and_scatter(scene, cfg: RenderConfig, meta, s: PathState, u,
     active = s.active & (s.slot >= 0)
     slot = sg(jnp.maximum(s.slot, 0))
 
-    # ---- gather hit attributes (flat-table gathers) --------------------
-    emitt = vec.gather(scene.emit, slot)
-    ior = scene.ior[slot]
-    dielectric = scene.dielectric[slot]
+    # ---- gather hit attributes: ONE (N, 42) row gather -----------------
+    # TPU gather cost is per-index, not per-byte (a 48-wide row gather
+    # measures the same ~3 ms / 262k lanes as a scalar gather on v5e —
+    # scripts/perf_gather.py), so the 42 per-slot attribute planes are
+    # stacked into one row table and fetched with a single gather.  The
+    # stack is loop-invariant across the bounce scan and differentiable
+    # (its VJP un-stacks back onto emit/ior/dielectric, the train-step
+    # parameters).
+    attr = jnp.stack([
+        scene.nrm0.x, scene.nrm0.y, scene.nrm0.z,
+        scene.nrm1.x, scene.nrm1.y, scene.nrm1.z,
+        scene.nrm2.x, scene.nrm2.y, scene.nrm2.z,
+        scene.tan0.x, scene.tan0.y, scene.tan0.z,
+        scene.tan1.x, scene.tan1.y, scene.tan1.z,
+        scene.tan2.x, scene.tan2.y, scene.tan2.z,
+        scene.btn0.x, scene.btn0.y, scene.btn0.z,
+        scene.btn1.x, scene.btn1.y, scene.btn1.z,
+        scene.btn2.x, scene.btn2.y, scene.btn2.z,
+        scene.uv0u, scene.uv0v, scene.uv1u, scene.uv1v,
+        scene.uv2u, scene.uv2v,
+        scene.emit.x, scene.emit.y, scene.emit.z,
+        scene.ior, scene.dielectric,
+        # atlas layer ids as f32 (exact below 2^24 layers)
+        scene.map_d.astype(jnp.float32), scene.map_e.astype(jnp.float32),
+        scene.map_n.astype(jnp.float32), scene.map_mr.astype(jnp.float32),
+    ], axis=-1)
+    row = attr[slot]                                   # (N, 42)
+
+    def col3(i):
+        return V3(row[:, i], row[:, i + 1], row[:, i + 2])
+
+    emitt = col3(33)
+    ior = row[:, 36]
+    dielectric = row[:, 37]
+    map_d = sg(row[:, 38]).astype(jnp.int32)
+    map_e = sg(row[:, 39]).astype(jnp.int32)
+    map_n = sg(row[:, 40]).astype(jnp.int32)
+    map_mr = sg(row[:, 41]).astype(jnp.int32)
     bu, bv = sg(s.bu), sg(s.bv)
     w0 = 1.0 - bu - bv
-    tex_u = scene.uv0u[slot] * w0 + scene.uv1u[slot] * bu + scene.uv2u[slot] * bv
-    tex_v = scene.uv0v[slot] * w0 + scene.uv1v[slot] * bu + scene.uv2v[slot] * bv
-    bary_n = _corner_lerp(vec.gather(scene.nrm0, slot),
-                          vec.gather(scene.nrm1, slot),
-                          vec.gather(scene.nrm2, slot), w0, bu, bv)
-    bary_t = _corner_lerp(vec.gather(scene.tan0, slot),
-                          vec.gather(scene.tan1, slot),
-                          vec.gather(scene.tan2, slot), w0, bu, bv)
-    bary_bt = _corner_lerp(vec.gather(scene.btn0, slot),
-                           vec.gather(scene.btn1, slot),
-                           vec.gather(scene.btn2, slot), w0, bu, bv)
+    tex_u = row[:, 27] * w0 + row[:, 29] * bu + row[:, 31] * bv
+    tex_v = row[:, 28] * w0 + row[:, 30] * bu + row[:, 32] * bv
+    bary_n = _corner_lerp(col3(0), col3(3), col3(6), w0, bu, bv)
+    bary_t = _corner_lerp(col3(9), col3(12), col3(15), w0, bu, bv)
+    bary_bt = _corner_lerp(col3(18), col3(21), col3(24), w0, bu, bv)
 
     # ---- atlas fetches (tracer.fs:453-456) -----------------------------
-    tex_diffuse = atlas_fetch_rgb(scene, meta, scene.map_d[slot], tex_u, tex_v)
-    tex_emissive = atlas_fetch_rgb(scene, meta, scene.map_e[slot], tex_u, tex_v)
-    mr = atlas_fetch_rgb(scene, meta, scene.map_mr[slot], tex_u, tex_v)
+    tex_diffuse = atlas_fetch_rgb(scene, meta, map_d, tex_u, tex_v)
+    tex_emissive = atlas_fetch_rgb(scene, meta, map_e, tex_u, tex_v)
+    mr = atlas_fetch_rgb(scene, meta, map_mr, tex_u, tex_v)
     metallic, roughness = mr.x, mr.y ** 2                # tracer.fs:457
-    tn = atlas_fetch_rgb(scene, meta, scene.map_n[slot], tex_u, tex_v)
+    tn = atlas_fetch_rgb(scene, meta, map_n, tex_u, tex_v)
     tex_normal = V3((tn.x - 0.5) * 2.0, (tn.y - 0.5) * 2.0, tn.z)
 
     # ---- shading frame (tracer.fs:332-337,459-463) --------------------

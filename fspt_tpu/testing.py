@@ -97,11 +97,17 @@ def icosphere_obj(subdivisions: int = 2) -> str:
 
 
 def quad_obj() -> str:
-    """Unit floor quad in the XZ plane (like reference top_mono.obj)."""
+    """Unit floor quad in the XZ plane (like reference top_mono.obj).
+
+    Winding chosen so the flat normal points +y (up): the integrator treats
+    back-face hits as "inside" (reference tracer.fs:461-463) and applies the
+    Beer term with dielectric=-1, which brightens opaque floors — an earlier
+    version of this quad wound the faces downward and silently hit that path
+    on every floor bounce."""
     return (
         "v 0.5 0.0 0.5\nv 0.5 0.0 -0.5\nv -0.5 0.0 -0.5\nv -0.5 0.0 0.5\n"
         "vt 0.0 0.0\nvt 0.0 1.0\nvt 1.0 1.0\nvt 1.0 0.0\n"
-        "f 1/1 3/3 2/2\nf 3/3 1/1 4/4\n"
+        "f 1/1 2/2 3/3\nf 3/3 4/4 1/1\n"
     )
 
 
