@@ -1,0 +1,80 @@
+"""End-to-end ingestion of REAL reference assets (round-2 VERDICT item 4).
+
+Every other test builds procedural OBJ text (fspt_tpu/testing.py); this one
+drives the actual files shipped with the reference checkout through the real
+AssetLoader: Wavefront OBJ (`asset_packs/misc/top_mono.obj`), the dungeon
+PNG/JPEG texture set, and a bunny.json-shaped scene file
+(`scenes/dungeon.json`) that keeps bunny.json's schema quirks — a rotate
+entry with angle 0 (reference scene/bunny.json:10) and `"ior": "10"` as a
+JSON string (bunny.json:40)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fspt_tpu.config import RenderConfig
+from fspt_tpu.runtime.renderer import Renderer
+from fspt_tpu.scene.schema import load_scene_file
+
+SCENE = os.path.join(os.path.dirname(__file__), "..", "scenes",
+                     "dungeon.json")
+REF = "/root/reference"
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "dungeon.npy")
+REGEN = bool(os.environ.get("FSPT_REGEN_GOLDENS"))
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "asset_packs")),
+    reason="reference asset checkout not mounted")
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return load_scene_file(SCENE)
+
+
+def test_real_obj_and_schema_quirks(scene):
+    # top_mono.obj is a quad -> 2 triangles per prop, 2 props
+    assert scene.num_triangles == 4
+    a = scene.arrays
+    # the wall prop's string "ior": "10" must parse like the reference's
+    # implicit JS coercion (main.js:206-270 getMaterial)
+    iors = np.unique(np.asarray(a.ior)[np.asarray(a.dielectric) != 0.0])
+    assert 10.0 in np.asarray(a.ior)
+    # default ior 1.4 on the floor prop (no ior key)
+    assert 1.4 in np.asarray(a.ior)
+    del iors
+
+
+def test_real_textures_packed(scene):
+    a, meta = scene.arrays, scene.meta
+    # atlasRes 256 < all 2048px sources -> res clamps to the request
+    # (reference texture_packer.js:36-42 setAndGetResolution)
+    assert meta.atlas_res == 256
+    # 5 distinct images + flat-color layers (emissive black, normal default)
+    assert meta.atlas_layers >= 7
+    assert a.atlas_r.shape[0] == meta.atlas_layers * 256 * 256
+    # baseColor maps are sRGB-decoded to linear, premultiplied — values must
+    # be sane and non-constant (a real photo texture, not a flat fill)
+    rgb = np.asarray(a.atlas_r)
+    assert np.isfinite(rgb).all() and rgb.min() >= 0.0
+    assert rgb.std() > 0.01
+
+
+def test_real_scene_renders(scene):
+    cfg = RenderConfig(width=32, height=32, bounces=3,
+                       extra_refraction_iters=2, batch_spp=4, seed=7)
+    r = Renderer(scene, cfg)
+    r.step(2)
+    img = r.hdr_image()
+    assert np.isfinite(img).all()
+    assert img.max() > 0.01, "image is black — env/textures not wired"
+    if REGEN or not os.path.exists(GOLDEN):
+        np.save(GOLDEN, img.astype(np.float32))
+        if not REGEN:
+            pytest.skip("golden created; rerun to compare")
+        return
+    golden = np.load(GOLDEN)
+    err = np.abs(img - golden)
+    scale = np.maximum(np.abs(golden), 1e-2)
+    assert (err / scale).max() < 0.05
