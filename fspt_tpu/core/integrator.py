@@ -217,8 +217,12 @@ class PathState(NamedTuple):
 
 
 def trace_paths(scene, cfg: RenderConfig, meta, origin: V3, direction: V3,
-                key) -> V3:
-    """Path-trace one sample for every input ray. Returns V3 (N,) radiance."""
+                key, lane_offset=0) -> V3:
+    """Path-trace one sample for every input ray. Returns V3 (N,) radiance.
+
+    lane_offset: global lane index of ray 0 — threads through to the
+    counter-based RNG so sharded renders reproduce the single-device
+    estimator bit-for-bit (core/rng.py)."""
     n = origin.x.shape[0]
     env_hw = (meta.env_h, meta.env_w)
 
@@ -237,7 +241,7 @@ def trace_paths(scene, cfg: RenderConfig, meta, origin: V3, direction: V3,
         prev_pdf=jnp.full(n, 1.0e16, jnp.float32))
 
     def body(state: PathState, it):
-        u = stream_uniforms(key, 1 + it, (11, n))
+        u = stream_uniforms(key, 1 + it, (11, n), lane_offset=lane_offset)
         return _shade_and_scatter(scene, cfg, meta, state, u, env_hw), None
 
     state, _ = jax.lax.scan(body, state, jnp.arange(cfg.max_iters))

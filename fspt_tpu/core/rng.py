@@ -3,9 +3,13 @@
 The reference uses a fract(sin(seed)) hash re-seeded per pixel/hit
 (tracer.fs:181,438,458) — neither deterministic across GPUs nor
 checkpointable.  Here randomness is jax.random (threefry) keyed by
-(base_seed, sample_index, stream): fully deterministic, reproducible across
-restarts (checkpoint stores just the base seed + sample count), and cheap to
-generate in wide batches.
+(base_seed, sample_index, stream, global lane): fully deterministic,
+reproducible across restarts (checkpoint stores just the base seed + sample
+count), and — because the lane index is explicit rather than positional —
+**sharding-invariant**: a device generating only lanes [off, off+local) of a
+stream reproduces exactly the values a single device generates for those
+lanes.  That makes the sharded sample step (parallel/dist.py) bit-identical
+to the single-device renderer, which the parallel tests assert per-pixel.
 """
 
 from __future__ import annotations
@@ -18,7 +22,16 @@ def sample_key(base_key, sample_index):
     return jax.random.fold_in(base_key, sample_index)
 
 
-def stream_uniforms(key, stream: int, shape):
-    """Uniforms in [0, 1) for a numbered stream within one sample step."""
-    return jax.random.uniform(jax.random.fold_in(key, stream), shape,
-                              dtype=jnp.float32)
+def stream_uniforms(key, stream: int, shape, lane_offset=0):
+    """Uniforms in [0, 1) for a numbered stream within one sample step.
+
+    shape: (rows, n).  The value at (r, i) is a pure function of
+    (key, stream, r, lane_offset + i) — NOT of n — so shards of a larger
+    lane space draw their exact slice by passing their global lane offset.
+    """
+    rows, n = shape
+    k = jax.random.fold_in(key, stream)
+    ids = jnp.uint32(lane_offset) + jnp.arange(n, dtype=jnp.uint32)
+    lane_keys = jax.vmap(lambda i: jax.random.fold_in(k, i))(ids)
+    u = jax.vmap(lambda kk: jax.random.uniform(kk, (rows,)))(lane_keys)
+    return u.T

@@ -65,16 +65,22 @@ def make_sharded_sample_step(mesh: Mesh, cfg: RenderConfig, meta):
         check_vma=False)
     def inner(scene, cam, accum, count, base_key, sample_idx):
         shard = jax.lax.axis_index(axis)
-        pixel_idx = jax.lax.dynamic_slice_in_dim(perm, shard * local, local)
-        key = jax.random.fold_in(sample_key(base_key, sample_idx), shard)
+        offset = shard * local
+        pixel_idx = jax.lax.dynamic_slice_in_dim(perm, offset, local)
+        # The RNG is keyed by GLOBAL lane index (core/rng.py), not by shard:
+        # every shard draws exactly the per-pixel streams the single-device
+        # renderer draws for its lanes, so the sharded render is
+        # bit-identical to the local one (asserted in tests/test_parallel.py)
+        key = sample_key(base_key, sample_idx)
 
         def one_sample(spp_i, acc):
             k = jax.random.fold_in(key, spp_i)
-            cam_u = stream_uniforms(k, 0, (4, local))
+            cam_u = stream_uniforms(k, 0, (4, local), lane_offset=offset)
             origin, direction = generate_rays(
                 cam.position, cam.direction, cam.fov_scale, cam.focal_depth,
                 cam.aperture, resolution, cam_u, pixel_idx=pixel_idx)
-            r = trace_paths(scene, cfg, meta, origin, direction, k)
+            r = trace_paths(scene, cfg, meta, origin, direction, k,
+                            lane_offset=offset)
             return acc + jnp.stack([r.x, r.y, r.z])
 
         accum = jax.lax.fori_loop(0, cfg.batch_spp, one_sample, accum)
@@ -122,13 +128,14 @@ def make_train_step(mesh: Mesh, cfg: RenderConfig, meta):
     perm = jnp.asarray(tile_order(cfg.width, cfg.height), jnp.int32)
 
     def local_loss(params, cam_params, scene, cam, target_local, key,
-                   pixel_idx):
+                   pixel_idx, offset):
         scene, cam = merge_params(scene, params, cam, cam_params)
-        cam_u = stream_uniforms(key, 0, (4, local))
+        cam_u = stream_uniforms(key, 0, (4, local), lane_offset=offset)
         origin, direction = generate_rays(
             cam.position, cam.direction, cam.fov_scale, cam.focal_depth,
             cam.aperture, resolution, cam_u, pixel_idx=pixel_idx)
-        r = trace_paths(scene, cfg, meta, origin, direction, key)
+        r = trace_paths(scene, cfg, meta, origin, direction, key,
+                        lane_offset=offset)
         radiance = jnp.stack([r.x, r.y, r.z])
         return jnp.mean((radiance - target_local) ** 2)
 
@@ -139,11 +146,12 @@ def make_train_step(mesh: Mesh, cfg: RenderConfig, meta):
         check_vma=False)
     def inner(params, cam_params, scene, cam, target, base_key, step_idx):
         shard = jax.lax.axis_index(axis)
-        pixel_idx = jax.lax.dynamic_slice_in_dim(perm, shard * local, local)
-        key = jax.random.fold_in(sample_key(base_key, step_idx), shard)
+        offset = shard * local
+        pixel_idx = jax.lax.dynamic_slice_in_dim(perm, offset, local)
+        key = sample_key(base_key, step_idx)
         loss, (grads, cam_grads) = jax.value_and_grad(
             local_loss, argnums=(0, 1))(params, cam_params, scene, cam,
-                                        target, key, pixel_idx)
+                                        target, key, pixel_idx, offset)
         loss = jax.lax.pmean(loss, axis)
         grads = jax.lax.pmean(grads, axis)
         cam_grads = jax.lax.pmean(cam_grads, axis)

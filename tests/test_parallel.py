@@ -28,9 +28,11 @@ def test_mesh_has_8_devices(mesh):
     assert mesh.devices.size == 8
 
 
-def test_sharded_render_matches_image_statistics(small_scene, mesh):
-    """Sharded render uses per-shard RNG streams, so images differ per pixel
-    from the single-device path but must agree statistically."""
+def test_sharded_render_matches_single_device_per_pixel(small_scene, mesh):
+    """The sharded step draws the SAME per-pixel RNG streams as the
+    single-device renderer (lane-indexed counter RNG, core/rng.py), so the
+    8-way sharded render must equal the local render per pixel — a badly
+    broken shard cannot hide in image statistics (round-2 VERDICT item 8)."""
     cfg = _cfg()
     arrays = small_scene.device_arrays()
     cam = CameraState.from_config(small_scene.camera)
@@ -38,8 +40,8 @@ def test_sharded_render_matches_image_statistics(small_scene, mesh):
     step = make_sharded_sample_step(mesh, cfg, small_scene.meta)
     accum = shard_accum(jnp.zeros((3, n), jnp.float32), mesh)
     count = jnp.zeros(())
-    key = jax.random.key(0)
-    n_samples = 16
+    key = jax.random.key(cfg.seed)
+    n_samples = 4
     for i in range(n_samples):
         accum, count = step(arrays, cam, accum, count, key, i)
     sharded = np.asarray(accum) / float(count)
@@ -48,10 +50,7 @@ def test_sharded_render_matches_image_statistics(small_scene, mesh):
     r = Renderer(small_scene, cfg)
     r.step(n_samples)
     single = np.asarray(r.accum) / n_samples
-    # same scene, same estimator, different RNG streams: median brightness
-    # must agree (median is robust to few-sample firefly variance)
-    med_s, med_1 = np.median(sharded), np.median(single)
-    assert abs(med_s - med_1) / med_1 < 0.25
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
 
 
 def test_train_step_produces_finite_psum_grads(small_scene, mesh):
