@@ -216,9 +216,24 @@ class PathState(NamedTuple):
                                # when light NEE is on; huge => weight 1)
 
 
+class TraceStats(NamedTuple):
+    """Per-sample observability (SURVEY §5 metrics; round-2 VERDICT item 6).
+
+    rays counts *active lanes only* — the honest "rays actually traced"
+    figure (primary + per-iteration live scatter/shadow segments), NOT the
+    2N-lanes-per-launch upper bound.
+    """
+
+    rays: jnp.ndarray          # () f32 — active-lane rays traced
+    active: jnp.ndarray       # (max_iters,) f32 — live scatter lanes per it
+    shadow: jnp.ndarray       # (max_iters,) f32 — live shadow lanes per it
+    visits: jnp.ndarray       # (max_iters,) f32 — summed node visits / lane
+
+
 def trace_paths(scene, cfg: RenderConfig, meta, origin: V3, direction: V3,
-                key, lane_offset=0) -> V3:
-    """Path-trace one sample for every input ray. Returns V3 (N,) radiance.
+                key, lane_offset=0, return_stats: bool = False):
+    """Path-trace one sample for every input ray. Returns V3 (N,) radiance
+    (or (radiance, TraceStats) when return_stats).
 
     lane_offset: global lane index of ray 0 — threads through to the
     counter-based RNG so sharded renders reproduce the single-device
@@ -242,13 +257,20 @@ def trace_paths(scene, cfg: RenderConfig, meta, origin: V3, direction: V3,
 
     def body(state: PathState, it):
         u = stream_uniforms(key, 1 + it, (11, n), lane_offset=lane_offset)
-        return _shade_and_scatter(scene, cfg, meta, state, u, env_hw), None
+        return _shade_and_scatter(scene, cfg, meta, state, u, env_hw)
 
-    state, _ = jax.lax.scan(body, state, jnp.arange(cfg.max_iters))
+    state, per_it = jax.lax.scan(body, state, jnp.arange(cfg.max_iters))
     c = state.color
-    return V3(jnp.clip(c.x, 0.0, cfg.radiance_clamp),
-              jnp.clip(c.y, 0.0, cfg.radiance_clamp),
-              jnp.clip(c.z, 0.0, cfg.radiance_clamp))
+    radiance = V3(jnp.clip(c.x, 0.0, cfg.radiance_clamp),
+                  jnp.clip(c.y, 0.0, cfg.radiance_clamp),
+                  jnp.clip(c.z, 0.0, cfg.radiance_clamp))
+    if not return_stats:
+        return radiance
+    n_active, n_shadow, visits = per_it
+    stats = TraceStats(rays=jnp.float32(n) + jnp.sum(n_active)
+                       + jnp.sum(n_shadow),
+                       active=n_active, shadow=n_shadow, visits=visits)
+    return radiance, stats
 
 
 def _corner_lerp(c0: V3, c1: V3, c2: V3, w0, u, v) -> V3:
@@ -494,6 +516,12 @@ def _shade_and_scatter(scene, cfg: RenderConfig, meta, s: PathState, u,
     bounces_used = s.bounces_used + (active & ~refractive).astype(jnp.int32)
     still_active = active & ~scat_miss & (bounces_used < cfg.bounces)
 
+    n_shadow = jnp.sum(shadow_wanted.astype(jnp.float32))
+    if cfg.use_light_nee:
+        n_shadow = n_shadow + jnp.sum(light_wanted.astype(jnp.float32))
+    per_it = (jnp.sum(active.astype(jnp.float32)), n_shadow,
+              jnp.sum(hits.visits[:n].astype(jnp.float32)))
+
     return PathState(
         origin=where(active, new_origin, s.origin),
         direction=where(active, new_dir, s.direction),
@@ -506,7 +534,7 @@ def _shade_and_scatter(scene, cfg: RenderConfig, meta, s: PathState, u,
         bounces_used=bounces_used,
         active=still_active,
         prev_pdf=jnp.where(active & ~refractive, sg(bsdf_pdf), s.prev_pdf),
-    )
+    ), per_it
 
 
 def trace_heatmap(scene, cfg: RenderConfig, meta, origin: V3,

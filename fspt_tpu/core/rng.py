@@ -26,12 +26,19 @@ def stream_uniforms(key, stream: int, shape, lane_offset=0):
     """Uniforms in [0, 1) for a numbered stream within one sample step.
 
     shape: (rows, n).  The value at (r, i) is a pure function of
-    (key, stream, r, lane_offset + i) — NOT of n — so shards of a larger
-    lane space draw their exact slice by passing their global lane offset.
+    (key, stream, r, global lane id) — NOT of n — so shards of a larger
+    lane space draw their exact slice of the single-device streams.
+    lane_offset: scalar offset (lane ids = offset + arange(n)) or an (n,)
+    array of explicit global lane ids (for interleaved shard assignment,
+    parallel/dist.py).
     """
     rows, n = shape
     k = jax.random.fold_in(key, stream)
-    ids = jnp.uint32(lane_offset) + jnp.arange(n, dtype=jnp.uint32)
+    lane_offset = jnp.asarray(lane_offset)
+    if lane_offset.ndim == 0:
+        ids = lane_offset.astype(jnp.uint32) + jnp.arange(n, dtype=jnp.uint32)
+    else:
+        ids = lane_offset.astype(jnp.uint32)
     lane_keys = jax.vmap(lambda i: jax.random.fold_in(k, i))(ids)
     u = jax.vmap(lambda kk: jax.random.uniform(kk, (rows,)))(lane_keys)
     return u.T

@@ -60,11 +60,13 @@ def main():
                                       pixel_idx=pixel_idx)
     origin = jax.block_until_ready(origin)
 
-    def trav(rows):
-        return jax.jit(lambda o, d: packet_traverse(
+    from fspt_tpu.ops.traverse2 import packet_traverse2
+
+    def trav(rows, impl=packet_traverse, interleave=1):
+        return jax.jit(lambda o, d: impl(
             arrays.pk_nodes, arrays.pk_leaves, o, d,
             leaf_size=meta.leaf_size, stack_depth=meta.pk_stack_depth,
-            rows=rows))
+            rows=rows, interleave=interleave))
 
     # incoherent rays: random directions from primary hit points, sorted by
     # (octant, morton) exactly like sorted_intersect does
@@ -89,12 +91,22 @@ def main():
     sd = jax.tree.map(lambda a: a[perm], rnd_dir)
     sp, sd = jax.block_until_ready((sp, sd))
 
-    for rows in (8, 16, 32):
-        pk = rows * 128
+    cases = [("v1 rows=8", dict(rows=8, impl=packet_traverse)),
+             ("v2 rows=8", dict(rows=8, impl=packet_traverse2)),
+             ("v2 rows=8 K2", dict(rows=8, impl=packet_traverse2,
+                                   interleave=2)),
+             ("v2 rows=8 K4", dict(rows=8, impl=packet_traverse2,
+                                   interleave=4)),
+             ("v2 rows=16", dict(rows=16, impl=packet_traverse2)),
+             ("v2 rows=4", dict(rows=4, impl=packet_traverse2)),
+             ("v2 rows=4 K4", dict(rows=4, impl=packet_traverse2,
+                                   interleave=4))]
+    for name, kw in cases:
+        pk = kw["rows"] * 128
         for label, o_, d_ in (("coherent", origin, direction),
                               ("incoh-sorted", sp, sd)):
-            fn = trav(rows)
-            out, dt = timed(f"rows={rows:2d} {label}", fn, o_, d_)
+            fn = trav(**kw)
+            out, dt = timed(f"{name} {label}", fn, o_, d_)
             visits = np.asarray(out.visits)[::pk]
             tot = visits.sum()
             print(f"    visits/packet mean={visits.mean():7.0f} "

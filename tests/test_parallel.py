@@ -42,15 +42,23 @@ def test_sharded_render_matches_single_device_per_pixel(small_scene, mesh):
     count = jnp.zeros(())
     key = jax.random.key(cfg.seed)
     n_samples = 4
+    shard_rays = None
     for i in range(n_samples):
-        accum, count = step(arrays, cam, accum, count, key, i)
+        accum, count, shard_rays = step(arrays, cam, accum, count, key, i)
     sharded = np.asarray(accum) / float(count)
     assert np.isfinite(sharded).all()
+    assert shard_rays.shape == (8,) and float(np.asarray(shard_rays).min()) > 0
 
     r = Renderer(small_scene, cfg)
     r.step(n_samples)
     single = np.asarray(r.accum) / n_samples
-    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+    # scatter both to pixel-id space (the sharded step deals chunks of the
+    # tile order round-robin to shards, so its column order differs)
+    img_sharded = np.zeros_like(sharded)
+    img_sharded[:, step.pixel_order] = sharded
+    img_single = np.zeros_like(single)
+    img_single[:, np.asarray(r.pixel_idx)] = single
+    np.testing.assert_allclose(img_sharded, img_single, rtol=1e-5, atol=1e-6)
 
 
 def test_train_step_produces_finite_psum_grads(small_scene, mesh):
