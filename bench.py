@@ -8,18 +8,17 @@ stand-in of the same scale is used), 8 bounces, 1spp batches, 512x512.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is value / 2e9 (the 2 Grays/s/chip target — the reference
 publishes no numbers of its own; see BASELINE.md).
+
+The headline value counts ACTIVE-LANE rays only (core/integrator.TraceStats:
+primary + live scatter/shadow segments per bounce), per round-2 VERDICT
+item 6; the 2N-lanes-per-launch figure is reported in stderr as an upper
+bound, alongside a per-bounce occupancy/visits bottleneck table.
 """
 
 import json
 import os
 import sys
 import time
-
-
-def count_rays_per_sample(cfg, n_pixels):
-    """Rays actually traced per sample: primary + per-iteration batched
-    (scatter + shadow) traversal of 2N lanes."""
-    return n_pixels * (1 + 2 * cfg.max_iters)
 
 
 def main():
@@ -48,27 +47,34 @@ def main():
     compile_s = time.time() - t0
 
     r.step(warmup)
-    t0 = time.time()
+    r._stats = {"samples": 0, "seconds": 0.0, "rays": 0.0}
     r.step(iters)   # step() drains the dispatch pipeline (scalar fetch)
-    dt = time.time() - t0
-
-    n_pixels = cfg.width * cfg.height
-    rays = iters * cfg.batch_spp * count_rays_per_sample(cfg, n_pixels)
-    rays_per_s = rays / dt
+    s = r.stats
 
     img = r.hdr_image()
     ok = bool(jnp.isfinite(jnp.asarray(img)).all())
 
     print(json.dumps({
-        "metric": "rays/s/chip (bunny-scale standin, 8 bounces, 1spp, 512x512)",
-        "value": round(rays_per_s, 1),
+        "metric": "rays/s/chip, active lanes (bunny-scale standin, "
+                  "8 bounces, 1spp, 512x512)",
+        "value": round(s["rays_per_s"], 1),
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_s / 2.0e9, 4),
+        "vs_baseline": round(s["rays_per_s"] / 2.0e9, 4),
     }))
     print(f"# triangles={scene.num_triangles} bvh_depth={scene.bvh_depth} "
           f"scene_build={build_s:.1f}s compile={compile_s:.1f}s "
-          f"bench={dt:.2f}s samples={iters} finite={ok} "
-          f"device={jax.devices()[0].device_kind}", file=sys.stderr)
+          f"bench={s['seconds']:.2f}s samples={iters} "
+          f"honest_rays={s['rays']:.3e} "
+          f"lane_rays_upper_bound={s['lane_rays_upper_bound']:.3e} "
+          f"finite={ok} device={jax.devices()[0].device_kind}",
+          file=sys.stderr)
+    m = r.step_metrics()
+    occ = " ".join(f"{x:.2f}" for x in m["scatter_occupancy"])
+    sha = " ".join(f"{x:.2f}" for x in m["shadow_occupancy"])
+    vis = " ".join(f"{x:.0f}" for x in m["visits_per_lane"])
+    print(f"# per-bounce scatter occupancy: {occ}", file=sys.stderr)
+    print(f"# per-bounce shadow  occupancy: {sha}", file=sys.stderr)
+    print(f"# per-bounce packet visits/lane: {vis}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -166,10 +166,13 @@ def _intersect_brute(scene, cfg, origin: V3, direction: V3) -> PacketHit:
                      visits=jnp.zeros_like(slot))
 
 
-def atlas_fetch_rgb(scene, meta, layer, u, v) -> V3:
+def atlas_fetch_rgb(scene, meta, layer, u, v, rows=None) -> V3:
     """Bilinear RGB fetch from the flat atlas channel planes with REPEAT
     wrap; v=0 maps to the image bottom row (OBJ/GL convention).
-    layer: (N,) i32; u/v: (N,). Returns V3 of (N,)."""
+    layer: (N,) i32; u/v: (N,). Returns V3 of (N,).
+    rows: optional pre-stacked (M, 3) RGB table (trace_paths builds it once
+    outside the bounce scan rather than relying on XLA loop-invariant
+    hoisting of a materialized buffer — round-2 ADVICE item 3)."""
     r = meta.atlas_res
     x = u * r - 0.5
     y = (1.0 - v) * r - 0.5
@@ -192,9 +195,10 @@ def atlas_fetch_rgb(scene, meta, layer, u, v) -> V3:
 
     # One (N, 3) row gather per corner instead of 3 scalar-plane gathers
     # (TPU gathers cost per-index, not per-byte — see ops/traverse.py and
-    # scripts/perf_gather.py); the RGB stack is CSE'd across the four map
-    # fetches of a shading iteration.
-    rows = jnp.stack([scene.atlas_r, scene.atlas_g, scene.atlas_b], axis=-1)
+    # scripts/perf_gather.py).
+    if rows is None:
+        rows = jnp.stack([scene.atlas_r, scene.atlas_g, scene.atlas_b],
+                         axis=-1)
     out = (rows[i00] * w00[:, None] + rows[i10] * w10[:, None]
            + rows[i01] * w01[:, None] + rows[i11] * w11[:, None])
     return V3(out[:, 0], out[:, 1], out[:, 2])
@@ -255,9 +259,17 @@ def trace_paths(scene, cfg: RenderConfig, meta, origin: V3, direction: V3,
         bounces_used=jnp.zeros(n, jnp.int32), active=~miss,
         prev_pdf=jnp.full(n, 1.0e16, jnp.float32))
 
+    # Loop-invariant shading tables, built ONCE outside the bounce scan
+    # (round-2 ADVICE item 3: don't rely on XLA hoisting materialized
+    # buffers out of the scan body on every backend):
+    attr = _attr_table(scene)
+    atlas_rows = jnp.stack([scene.atlas_r, scene.atlas_g, scene.atlas_b],
+                           axis=-1)
+
     def body(state: PathState, it):
         u = stream_uniforms(key, 1 + it, (11, n), lane_offset=lane_offset)
-        return _shade_and_scatter(scene, cfg, meta, state, u, env_hw)
+        return _shade_and_scatter(scene, cfg, meta, state, u, env_hw,
+                                  attr, atlas_rows)
 
     state, per_it = jax.lax.scan(body, state, jnp.arange(cfg.max_iters))
     c = state.color
@@ -277,20 +289,17 @@ def _corner_lerp(c0: V3, c1: V3, c2: V3, w0, u, v) -> V3:
     return c0 * w0 + c1 * u + c2 * v
 
 
-def _shade_and_scatter(scene, cfg: RenderConfig, meta, s: PathState, u,
-                       env_hw) -> PathState:
-    active = s.active & (s.slot >= 0)
-    slot = sg(jnp.maximum(s.slot, 0))
+def _attr_table(scene):
+    """The (S, 42) per-slot shading-attribute row table.
 
-    # ---- gather hit attributes: ONE (N, 42) row gather -----------------
-    # TPU gather cost is per-index, not per-byte (a 48-wide row gather
-    # measures the same ~3 ms / 262k lanes as a scalar gather on v5e —
-    # scripts/perf_gather.py), so the 42 per-slot attribute planes are
-    # stacked into one row table and fetched with a single gather.  The
-    # stack is loop-invariant across the bounce scan and differentiable
-    # (its VJP un-stacks back onto emit/ior/dielectric, the train-step
-    # parameters).
-    attr = jnp.stack([
+    TPU gather cost is per-index, not per-byte (a 48-wide row gather
+    measures the same ~3 ms / 262k lanes as a scalar gather on v5e —
+    scripts/perf_gather.py), so the 42 per-slot attribute planes are
+    stacked into one row table fetched with a single gather per bounce.
+    Built once per trace (outside the bounce scan) and differentiable: its
+    VJP un-stacks back onto emit/ior/dielectric, the train-step
+    parameters."""
+    return jnp.stack([
         scene.nrm0.x, scene.nrm0.y, scene.nrm0.z,
         scene.nrm1.x, scene.nrm1.y, scene.nrm1.z,
         scene.nrm2.x, scene.nrm2.y, scene.nrm2.z,
@@ -308,6 +317,14 @@ def _shade_and_scatter(scene, cfg: RenderConfig, meta, s: PathState, u,
         scene.map_d.astype(jnp.float32), scene.map_e.astype(jnp.float32),
         scene.map_n.astype(jnp.float32), scene.map_mr.astype(jnp.float32),
     ], axis=-1)
+
+
+def _shade_and_scatter(scene, cfg: RenderConfig, meta, s: PathState, u,
+                       env_hw, attr, atlas_rows):
+    active = s.active & (s.slot >= 0)
+    slot = sg(jnp.maximum(s.slot, 0))
+
+    # ---- gather hit attributes: ONE (N, 42) row gather -----------------
     row = attr[slot]                                   # (N, 42)
 
     def col3(i):
@@ -329,11 +346,11 @@ def _shade_and_scatter(scene, cfg: RenderConfig, meta, s: PathState, u,
     bary_bt = _corner_lerp(col3(18), col3(21), col3(24), w0, bu, bv)
 
     # ---- atlas fetches (tracer.fs:453-456) -----------------------------
-    tex_diffuse = atlas_fetch_rgb(scene, meta, map_d, tex_u, tex_v)
-    tex_emissive = atlas_fetch_rgb(scene, meta, map_e, tex_u, tex_v)
-    mr = atlas_fetch_rgb(scene, meta, map_mr, tex_u, tex_v)
+    tex_diffuse = atlas_fetch_rgb(scene, meta, map_d, tex_u, tex_v, atlas_rows)
+    tex_emissive = atlas_fetch_rgb(scene, meta, map_e, tex_u, tex_v, atlas_rows)
+    mr = atlas_fetch_rgb(scene, meta, map_mr, tex_u, tex_v, atlas_rows)
     metallic, roughness = mr.x, mr.y ** 2                # tracer.fs:457
-    tn = atlas_fetch_rgb(scene, meta, map_n, tex_u, tex_v)
+    tn = atlas_fetch_rgb(scene, meta, map_n, tex_u, tex_v, atlas_rows)
     tex_normal = V3((tn.x - 0.5) * 2.0, (tn.y - 0.5) * 2.0, tn.z)
 
     # ---- shading frame (tracer.fs:332-337,459-463) --------------------

@@ -104,6 +104,14 @@ def pack_bvh(node_left, node_right, node_tri, node_min, node_max,
     preorder, tri_offset >= 0 marking leaves) into 8-wide packed tables."""
     if leaf_size * 9 > 128:
         raise ValueError(f"leaf_size {leaf_size} needs {leaf_size * 9} lanes")
+    if len(tri_v0) >= 1 << 24:
+        # sorted_intersect (core/integrator.py) rides hit slots through f32
+        # sort/scatter rows, exact only below 2^24 — fail loudly at build
+        # time instead of silently corrupting hits (round-2 ADVICE item 1)
+        raise ValueError(
+            f"{len(tri_v0)} padded triangle slots >= 2^24: slot indices "
+            "would lose precision in the f32 hit-permutation path; "
+            "partition the scene or raise leaf_size")
     node_left = np.asarray(node_left)
     node_right = np.asarray(node_right)
     node_tri = np.asarray(node_tri)

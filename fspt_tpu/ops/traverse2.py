@@ -233,6 +233,8 @@ def packet_traverse2(nodes, leaves, origin: V3, direction: V3, tmax=None, *,
                      interleave: int = 1,
                      rows: int = 8) -> PacketHit:
     """v2 traversal: same contract as ops/traverse.packet_traverse."""
+    from fspt_tpu.ops.traverse import check_vmem_budget
+    check_vmem_budget(nodes, leaves)
     n = origin.x.shape[0]
     packet = rows * 128
     group = interleave * packet

@@ -146,3 +146,19 @@ def test_fastbvh_speed():
     _check_structure(bvh, 82000, 8)
     budget = 1.0 if native.available() else 30.0
     assert dt < budget, f"build took {dt:.2f}s"
+
+
+def test_vmem_budget_guardrail():
+    """A scene too large for the VMEM-resident kernel must fail with a
+    one-line actionable error, not a Mosaic allocation crash (round-2
+    VERDICT weak #6).  500k tris => ~62k leaf rows => ~32 MiB of tables."""
+    import numpy as np
+    import pytest
+    from fspt_tpu.core.vec import V3
+    from fspt_tpu.ops.traverse import packet_traverse
+
+    nodes = np.zeros((9000, 128), np.float32)
+    leaves = np.zeros((63000, 128), np.float32)
+    rays = V3(*(np.zeros((128,), np.float32) for _ in range(3)))
+    with pytest.raises(ValueError, match="VMEM"):
+        packet_traverse(nodes, leaves, rays, rays, interpret=True)
