@@ -106,6 +106,18 @@ def cmd_animate(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    """Interactive fly-through viewer (reference main.js:619-739,838-857)."""
+    scene, r = _build(args)
+    from fspt_tpu.runtime.viewer import InteractiveViewer
+    v = InteractiveViewer(scene, r.cfg, post=r.post)
+    if args.autofocus:
+        v.renderer.autofocus()
+        v.preview.camera = v.renderer.camera
+    v.serve(port=args.port, host=args.host)
+    return 0
+
+
 def cmd_info(args) -> int:
     from fspt_tpu.scene.schema import load_scene_file
     scene = load_scene_file(args.scene)
@@ -144,6 +156,12 @@ def main(argv=None) -> int:
     pa.add_argument("--end", type=int, required=True)
     pa.add_argument("-o", "--out-dir", default="frames")
     pa.set_defaults(fn=cmd_animate)
+
+    pv = sub.add_parser("view", help="interactive fly-through viewer")
+    _add_render_args(pv)
+    pv.add_argument("--port", type=int, default=8787)
+    pv.add_argument("--host", default="127.0.0.1")
+    pv.set_defaults(fn=cmd_view)
 
     pd = sub.add_parser("diff", help="compare two renders")
     pd.set_defaults(fn=None)

@@ -65,12 +65,14 @@ def _packet_state(rays_ref, k, *, leaf_size, any_hit, rows):
 
     def bc(row, i):
         # (1, 1) lane slice -> (1, 128) lane broadcast; the consuming
-        # arithmetic then broadcasts sublanes.  (Mosaic has no fused
-        # both-dims broadcast, and a (1, 1)->(rows, 128) jnp broadcast
-        # fails to lower.)  Stays in the vector domain — v1 extracted these
-        # through the scalar unit, which profiling showed was the per-visit
-        # bottleneck.
-        return jnp.broadcast_to(row[:, i:i + 1], (1, 128))
+        # arithmetic then broadcasts sublanes.  Mosaic has no fused
+        # both-dims broadcast ("Broadcast in both sublanes and lanes: not
+        # implemented"), and XLA folds a bare broadcast_to into exactly
+        # that, so an optimization_barrier pins the (1, 128) intermediate.
+        # Stays in the vector domain — v1 extracted these through the
+        # scalar unit, which profiling showed was the per-visit bottleneck.
+        return jax.lax.optimization_barrier(
+            jnp.broadcast_to(row[:, i:i + 1], (1, 128)))
 
     def aabb(row, c, best_t):
         mnx = bc(row, c)

@@ -1,0 +1,273 @@
+"""Packet BVH traversal, kernel v3: eight vectorized walks per program.
+
+Why v1 is slow (measured, scripts/perf_r3.py): one packet of 1024 rays
+walks the wide BVH with ~580-830 ns of SERIAL per-visit work (row fetch,
+56 vector->scalar extracts, 4 cross-lane vote reductions, 8 scalar stack
+pushes) against a 150-250 ns vector floor — and for incoherent bounce rays
+the 1024-ray node-set union is ~7x a single ray's need, so ~93% of the
+slab/triangle tests are wasted on lanes that don't want the node.  Making
+packets taller amortizes no better (unions grow ~linearly: 429 -> 799 ->
+1449 visits for 1024/2048/4096-ray packets); narrower per-walk unions are
+where the work reduction is, IF the per-visit serial cost can be paid once
+for MANY walks.
+
+v3 restructures the kernel so the serial cost is shared by 8 walks:
+
+  * a program advances EIGHT independent 128-ray walks in lockstep; walk
+    s's rays live in the 128 lanes of sublane s, so every (8, 128) vector
+    op tests 8 walks x 128 rays at full VPU occupancy;
+  * per-walk traversal state (current node, stack pointer, direction
+    signs, votes) is (8, 1) VECTORS, not scalars: descent decisions,
+    near/far ordering, and bookkeeping are lane-broadcast arithmetic;
+  * per-walk stacks are rows of an (8, depth) VMEM scratch updated with
+    one-hot writes (iota == ptr selects) and popped with one-hot
+    lane-reductions — no per-lane addressing needed;
+  * node and leaf rows live in ONE unified (W + L, 128) table so each
+    super-step does exactly 8 dynamic row fetches (the only remaining
+    scalar work: extracting 8 row indices);
+  * the node test reads child boxes as (8, 1) sublane slices of the
+    fetched panel and broadcasts along lanes — single-axis broadcasts,
+    the shape Mosaic lowers natively (the v2 attempt died on fused
+    both-axis broadcasts);
+  * votes are lane-reductions to (8, 1) — they never leave the vector
+    domain.
+
+A walk visits only the union of ITS 128 rays' node sets (~6x smaller than
+a 1024-ray union on sorted bounce rays), and the whole visit pipeline is
+vector work, so the serial-latency wall v1 hit does not exist here.
+Same packed tables (ops/packing.py), same PacketHit contract, bit-identical
+results (tests/test_fastbvh.py cross-checks).
+Reference hot loop being replaced: /root/reference/shader/tracer.fs:366-404.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fspt_tpu.core.vec import V3
+from fspt_tpu.ops.traverse import MAX_T, SENTINEL, PacketHit, check_vmem_budget
+
+WALKS = 8          # sublanes = independent 128-ray walks per program
+LANES = 128
+
+
+def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
+                 t_ref, slot_ref, u_ref, v_ref, visits_ref,
+                 panel, stack,
+                 *, leaf_size: int, any_hit: bool, stack_depth: int):
+    W = n_nodes_ref[0]
+    ox = rays_ref[0, 0]
+    oy = rays_ref[0, 1]
+    oz = rays_ref[0, 2]
+    dx = rays_ref[0, 3]
+    dy = rays_ref[0, 4]
+    dz = rays_ref[0, 5]
+    t_init = rays_ref[0, 6]
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-20,
+                               jnp.where(d < 0, -1e-20, 1e-20), d)
+
+    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+    # per-walk dominant direction signs, (8, 1) int32 vectors (narrow bool
+    # vectors trip Mosaic's i8->i1 truncation, so logical walk state is
+    # int32 arithmetic throughout)
+    sx = (jnp.sum(dx, axis=1, keepdims=True) >= 0.0).astype(jnp.int32)
+    sy = (jnp.sum(dy, axis=1, keepdims=True) >= 0.0).astype(jnp.int32)
+    sz = (jnp.sum(dz, axis=1, keepdims=True) >= 0.0).astype(jnp.int32)
+
+    stack_iota = jax.lax.broadcasted_iota(jnp.int32, (WALKS, stack_depth), 1)
+
+    def fetch(sel):
+        # 8 dynamic row reads into the panel scratch — the only scalar work
+        for s in range(WALKS):
+            panel[s:s + 1, :] = table_ref[pl.ds(sel[s, 0], 1), :]
+        return panel[:, :]
+
+    def step(st):
+        cur, ptr, bt, bs, bu, bv, vis = st
+        parked = (cur == SENTINEL).astype(jnp.int32)
+        is_leaf = ((cur < 0).astype(jnp.int32)) * (1 - parked)
+        is_node = (cur >= 0).astype(jnp.int32)
+        leaf_ord = -cur - 1
+        sel = is_node * cur + is_leaf * (W + leaf_ord)
+        sel = jnp.maximum(sel, 0)
+        row = fetch(sel)                                    # (8, 128)
+
+        # ---- node branch: slab-test 8 children of each walk's node -----
+        def child_box(c):
+            mnx = row[:, c:c + 1]
+            mny = row[:, 8 + c:9 + c]
+            mnz = row[:, 16 + c:17 + c]
+            mxx = row[:, 24 + c:25 + c]
+            mxy = row[:, 32 + c:33 + c]
+            mxz = row[:, 40 + c:41 + c]
+            t1x = (mnx - ox) * ix
+            t2x = (mxx - ox) * ix
+            t1y = (mny - oy) * iy
+            t2y = (mxy - oy) * iy
+            t1z = (mnz - oz) * iz
+            t2z = (mxz - oz) * iz
+            tmin = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                           jnp.minimum(t1y, t2y)),
+                               jnp.minimum(t1z, t2z))
+            tmax = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                           jnp.maximum(t1y, t2y)),
+                               jnp.maximum(t1z, t2z))
+            return (tmax >= tmin) & (tmax > 0.0) & (tmin < bt)
+
+        links = [row[:, 48 + c:49 + c] for c in range(8)]   # (8, 1) f32
+        wants = []
+        for c in range(8):
+            any_c = (jnp.sum(child_box(c).astype(jnp.float32), axis=1,
+                             keepdims=True) > 0.0).astype(jnp.int32)
+            valid_c = (links[c] > -1.0e8).astype(jnp.int32)
+            wants.append(any_c * valid_c * is_node)
+
+        axis = row[:, 56:57]
+        fwd = jnp.where(axis == 0.0, sx, jnp.where(axis == 1.0, sy, sz))
+
+        p = ptr
+        top = cur
+        pushed = jnp.zeros_like(cur)
+        for j in range(8):
+            link_j = jnp.where(fwd > 0, links[7 - j],
+                               links[j]).astype(jnp.int32)
+            want_j = jnp.where(fwd > 0, wants[7 - j], wants[j])
+            write = (stack_iota == p) & (jnp.broadcast_to(
+                want_j, (WALKS, stack_depth)) > 0)
+            stack[:, :] = jnp.where(write, jnp.broadcast_to(
+                link_j, (WALKS, stack_depth)), stack[:, :])
+            top = jnp.where(want_j > 0, link_j, top)
+            pushed = jnp.maximum(pushed, want_j)
+            p = p + want_j
+
+        # ---- leaf branch: Moller-Trumbore the walk's leaf_size tris ----
+        slot_base = leaf_ord * leaf_size
+        for j in range(leaf_size):
+            b = 9 * j
+            c = [row[:, b + i:b + i + 1] for i in range(9)]
+            px = dy * c[8] - dz * c[7]
+            py = dz * c[6] - dx * c[8]
+            pz = dx * c[7] - dy * c[6]
+            det = c[3] * px + c[4] * py + c[5] * pz
+            inv = 1.0 / jnp.where(jnp.abs(det) < 1e-6, 1.0, det)
+            tx = ox - c[0]
+            ty = oy - c[1]
+            tz = oz - c[2]
+            uu = (tx * px + ty * py + tz * pz) * inv
+            qx = ty * c[5] - tz * c[4]
+            qy = tz * c[3] - tx * c[5]
+            qz = tx * c[4] - ty * c[3]
+            ww = (dx * qx + dy * qy + dz * qz) * inv
+            tt = (c[6] * qx + c[7] * qy + c[8] * qz) * inv
+            ok = ((jnp.broadcast_to(is_leaf, (WALKS, LANES)) > 0)
+                  & (jnp.abs(det) >= 1e-6)
+                  & (uu >= 0.0) & (uu <= 1.0) & (ww >= 0.0)
+                  & (uu + ww <= 1.0) & (tt > 1e-6) & (tt < bt))
+            bt = jnp.where(ok, tt, bt)
+            bs = jnp.where(ok, slot_base + j, bs)
+            bu = jnp.where(ok, uu, bu)
+            bv = jnp.where(ok, ww, bv)
+
+        # ---- advance (pop invariant: count=ptr entries, top at ptr-1) ---
+        nptr = p - 1
+        pop_at = jnp.clip(nptr, 0, stack_depth - 1)
+        popped = jnp.sum(jnp.where(stack_iota == pop_at, stack[:, :], 0),
+                         axis=1, keepdims=True)
+        ncur = jnp.where(pushed > 0, top, popped)
+        ncur = jnp.where(parked > 0, SENTINEL, ncur)
+        nptr = jnp.where((parked > 0) | (ncur == SENTINEL), 0, nptr)
+        if any_hit:
+            done = jnp.sum(((bs >= 0) | (bt <= 0.0)).astype(jnp.float32),
+                           axis=1, keepdims=True) >= float(LANES)
+            ncur = jnp.where(done, SENTINEL, ncur)
+            nptr = jnp.where(done, 0, nptr)
+        vis = vis + (1 - parked)
+        return ncur, nptr, bt, bs, bu, bv, vis
+
+    def cond(st):
+        return jnp.sum((st[0] != SENTINEL).astype(jnp.float32)) > 0.0
+
+    ione = lambda v: jnp.full((WALKS, 1), v, jnp.int32)
+    init = (ione(0), ione(1), t_init,
+            jnp.full((WALKS, LANES), -1, jnp.int32),
+            jnp.zeros((WALKS, LANES), jnp.float32),
+            jnp.zeros((WALKS, LANES), jnp.float32),
+            ione(0))
+    stack[:, 0:1] = jnp.full((WALKS, 1), SENTINEL, jnp.int32)
+    cur, ptr, bt, bs, bu, bv, vis = jax.lax.while_loop(cond, step, init)
+    t_ref[0] = bt
+    slot_ref[0] = bs
+    u_ref[0] = bu
+    v_ref[0] = bv
+    visits_ref[0] = jnp.broadcast_to(vis, (WALKS, LANES))
+
+
+@functools.partial(jax.jit, static_argnames=("leaf_size", "any_hit",
+                                             "stack_depth", "interpret"))
+def packet_traverse3(nodes, leaves, origin: V3, direction: V3, tmax=None, *,
+                     leaf_size: int = 8, any_hit: bool = False,
+                     stack_depth: int = 64,
+                     interpret: bool = False) -> PacketHit:
+    """v3 multiwalk traversal: same contract as ops/traverse.packet_traverse
+    (visits are per-128-ray walk rather than per-1024-ray packet)."""
+    check_vmem_budget(nodes, leaves)
+    n = origin.x.shape[0]
+    group = WALKS * LANES
+    n_pad = (-n) % group
+    if tmax is None:
+        tmax = jnp.full((n,), MAX_T, jnp.float32)
+
+    def pad(a, value):
+        if n_pad == 0:
+            return a
+        return jnp.concatenate(
+            [a, jnp.full((n_pad,), value, a.dtype)], axis=0)
+
+    npg = (n + n_pad) // group
+
+    def field(a, value):
+        return pad(a, value).reshape(npg, 1, WALKS, LANES)
+
+    rays = jnp.concatenate([
+        field(origin.x, 1.0e9), field(origin.y, 1.0e9), field(origin.z, 1.0e9),
+        field(direction.x, 0.0), field(direction.y, 1.0), field(direction.z, 0.0),
+        field(tmax, 0.0),
+    ], axis=1)                                     # (npg, 7, 8, 128)
+
+    table = jnp.concatenate([nodes, leaves], axis=0)
+    n_nodes = jnp.full((1,), nodes.shape[0], jnp.int32)
+
+    kernel = functools.partial(_walk_kernel, leaf_size=leaf_size,
+                               any_hit=any_hit, stack_depth=stack_depth)
+    out_block = pl.BlockSpec((1, WALKS, LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((npg, WALKS, LANES), jnp.float32)
+    out_shape_i = jax.ShapeDtypeStruct((npg, WALKS, LANES), jnp.int32)
+    t, slot, u, v, visits = pl.pallas_call(
+        kernel,
+        grid=(npg,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(table.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 7, WALKS, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_block] * 5,
+        out_shape=[out_shape, out_shape_i, out_shape, out_shape, out_shape_i],
+        scratch_shapes=[pltpu.VMEM((WALKS, LANES), jnp.float32),
+                        pltpu.VMEM((WALKS, stack_depth), jnp.int32)],
+        interpret=interpret,
+    )(n_nodes, table, rays)
+
+    flat = lambda a: a.reshape(-1)[:n]
+    return PacketHit(t=flat(t), slot=flat(slot), u=flat(u), v=flat(v),
+                     visits=flat(visits))
