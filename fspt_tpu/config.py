@@ -66,9 +66,12 @@ class RenderConfig:
     max_t: float = 1.0e5           # reference tracer.fs:10 MAX_T
     epsilon: float = 1.0e-6        # reference tracer.fs:11 EPSILON
     stack_depth: int = 64          # traversal stack bound (tracer.fs:368)
-    # Engine selection for intersection: "packet" (Pallas kernel) | "brute"
-    # (O(N*T) oracle, tests only)
-    intersector: str = "packet"
+    # Engine selection for intersection:
+    #   "walk"   - Pallas multiwalk kernel (ops/traverse3.py): 8 vectorized
+    #              128-ray walks per program, the default
+    #   "packet" - Pallas 1024-ray packet kernel (ops/traverse.py)
+    #   "brute"  - O(N*T) oracle, tests only
+    intersector: str = "walk"
     # Sort secondary rays by direction octant before traversal so packets
     # stay coherent (stable sort preserves tile grouping within octants)
     sort_rays: bool = True

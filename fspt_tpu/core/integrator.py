@@ -63,13 +63,17 @@ def intersect(scene, cfg: RenderConfig, meta, origin: V3, direction: V3,
     detached and shading re-derives differentiable quantities."""
     if cfg.intersector == "brute":
         return _intersect_brute(scene, cfg, origin, direction)
-    return packet_traverse(scene.pk_nodes, scene.pk_leaves,
-                           sg(origin), sg(direction),
-                           sg(tmax) if tmax is not None else None,
-                           leaf_size=meta.leaf_size, any_hit=any_hit,
-                           stack_depth=max(cfg.stack_depth,
-                                           meta.pk_stack_depth),
-                           interpret=_use_interpret())
+    if cfg.intersector == "walk":
+        from fspt_tpu.ops.traverse3 import packet_traverse3
+        impl = packet_traverse3
+    else:
+        impl = packet_traverse
+    return impl(scene.pk_nodes, scene.pk_leaves,
+                sg(origin), sg(direction),
+                sg(tmax) if tmax is not None else None,
+                leaf_size=meta.leaf_size, any_hit=any_hit,
+                stack_depth=max(cfg.stack_depth, meta.pk_stack_depth),
+                interpret=_use_interpret())
 
 
 def _morton21(x, y, z):
@@ -101,7 +105,7 @@ def sorted_intersect(scene, cfg: RenderConfig, meta, origin: V3,
     octant-only 118 ms, octant+Morton 80 ms per traversal.  One lax.sort
     over [key, lane-id, 7 ray planes] plus one inverse permutation gather —
     flat lane-dense ops, ~1 ms at 262k rays."""
-    if cfg.intersector != "packet" or not cfg.sort_rays:
+    if cfg.intersector not in ("packet", "walk") or not cfg.sort_rays:
         return intersect(scene, cfg, meta, origin, direction, tmax=tmax,
                          any_hit=any_hit)
     n = origin.x.shape[0]
@@ -557,7 +561,15 @@ def _shade_and_scatter(scene, cfg: RenderConfig, meta, s: PathState, u,
 def trace_heatmap(scene, cfg: RenderConfig, meta, origin: V3,
                   direction: V3) -> V3:
     """BVH traversal-cost heatmap (reference mode=test, bvh_test.fs:224-232):
-    per-packet node-visit count scaled by heatmap_scale as grayscale."""
+    node-visit count scaled by heatmap_scale as grayscale.
+
+    Granularity caveat vs the reference: bvh_test.fs counts visits per
+    PIXEL; here every ray of a traversal group shares its group's count —
+    one 128-ray walk (a 16x8 pixel block) with the default "walk"
+    intersector, one 1024-ray packet (32x32 tile) with "packet".  The map
+    reads block-constant but the per-block cost it shows is exactly what
+    the TPU kernel pays, which is the quantity this diagnostic exists to
+    visualize."""
     hit = intersect(scene, cfg, meta, origin, direction)
     v = hit.visits.astype(jnp.float32) * cfg.heatmap_scale
     return V3(v, v, v)
