@@ -237,6 +237,15 @@ class Renderer:
             s["spp_per_s"] = s["samples"] / s["seconds"]
         return s
 
+    def profile_trace(self, logdir: str, num_batches: int = 1):
+        """Capture a jax.profiler device trace of `num_batches` sample
+        steps into `logdir` (viewable with TensorBoard / xprof) — the
+        in-product replacement for the reference's console.log wall-clock
+        prints (SURVEY §5 tracing)."""
+        with jax.profiler.trace(logdir):
+            self.step(num_batches)
+        return self
+
     def step_metrics(self, sample_idx: int = 0):
         """Structured per-bounce metrics for one sample (SURVEY §5
         observability): occupancy (live scatter/shadow lane fraction) and
@@ -251,10 +260,12 @@ class Renderer:
             self.camera.fov_scale, self.camera.focal_depth,
             self.camera.aperture, self.resolution, cam_u,
             pixel_idx=self.pixel_idx)
-        _, st = jax.jit(
-            lambda o, d: trace_paths(self.arrays, self.cfg, self.scene.meta,
-                                     o, d, k, return_stats=True))(
-            origin, direction)
+        if not hasattr(self, "_metrics_fn"):
+            self._metrics_fn = jax.jit(
+                lambda arrays, o, d, key: trace_paths(
+                    arrays, self.cfg, self.scene.meta, o, d, key,
+                    return_stats=True))
+        _, st = self._metrics_fn(self.arrays, origin, direction, k)
         return {
             "rays": float(st.rays),
             "scatter_occupancy": (np.asarray(st.active) / n).tolist(),
