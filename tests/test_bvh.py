@@ -2,6 +2,7 @@
 brute-force oracle on random rays."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from fspt_tpu.core.traversal import intersect_scene, intersect_scene_brute
@@ -86,11 +87,16 @@ def test_traversal_visit_counts_reasonable(small_scene):
     assert int(hit.visits[0]) <= len(arrays.node_left) * 2
 
 
-def test_packet_traverse_matches_brute(small_scene):
-    """Pallas packet kernel (interpret mode on CPU) vs brute oracle."""
+@pytest.mark.parametrize("impl", ["packet", "walk"])
+def test_packet_traverse_matches_brute(small_scene, impl):
+    """Pallas kernels (interpret mode on CPU) vs brute oracle — both the
+    1024-ray packet kernel (v1) and the 8x128 multiwalk kernel (v3)."""
     import jax
     from fspt_tpu.core.vec import V3
     from fspt_tpu.ops.traverse import packet_traverse
+    from fspt_tpu.ops.traverse3 import packet_traverse3
+    packet_traverse = (packet_traverse if impl == "packet"
+                       else packet_traverse3)
 
     arrays = small_scene.device_arrays()
     rng = np.random.default_rng(11)
@@ -118,9 +124,13 @@ def test_packet_traverse_matches_brute(small_scene):
     assert err.max() < 1e-3
 
 
-def test_packet_any_hit_matches_occlusion(small_scene):
+@pytest.mark.parametrize("impl", ["packet", "walk"])
+def test_packet_any_hit_matches_occlusion(small_scene, impl):
     from fspt_tpu.core.vec import V3
     from fspt_tpu.ops.traverse import packet_traverse
+    from fspt_tpu.ops.traverse3 import packet_traverse3
+    packet_traverse = (packet_traverse if impl == "packet"
+                       else packet_traverse3)
 
     arrays = small_scene.device_arrays()
     rng = np.random.default_rng(12)
