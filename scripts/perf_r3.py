@@ -60,7 +60,7 @@ def main():
                                       pixel_idx=pixel_idx)
     origin = jax.block_until_ready(origin)
 
-    from fspt_tpu.ops.traverse2 import packet_traverse2
+    from fspt_tpu.ops.traverse3 import packet_traverse3
 
     def trav(rows, impl=packet_traverse, interleave=1):
         return jax.jit(lambda o, d: impl(
@@ -92,15 +92,8 @@ def main():
     sp, sd = jax.block_until_ready((sp, sd))
 
     cases = [("v1 rows=8", dict(rows=8, impl=packet_traverse)),
-             ("v2 rows=8", dict(rows=8, impl=packet_traverse2)),
-             ("v2 rows=8 K2", dict(rows=8, impl=packet_traverse2,
-                                   interleave=2)),
-             ("v2 rows=8 K4", dict(rows=8, impl=packet_traverse2,
-                                   interleave=4)),
-             ("v2 rows=16", dict(rows=16, impl=packet_traverse2)),
-             ("v2 rows=4", dict(rows=4, impl=packet_traverse2)),
-             ("v2 rows=4 K4", dict(rows=4, impl=packet_traverse2,
-                                   interleave=4))]
+             ("v1 rows=16", dict(rows=16, impl=packet_traverse)),
+             ("v1 rows=32", dict(rows=32, impl=packet_traverse))]
     for name, kw in cases:
         pk = kw["rows"] * 128
         for label, o_, d_ in (("coherent", origin, direction),
