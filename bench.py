@@ -55,8 +55,8 @@ def main():
     ok = bool(jnp.isfinite(jnp.asarray(img)).all())
 
     print(json.dumps({
-        "metric": "rays/s/chip, active lanes (bunny-scale standin, "
-                  "8 bounces, 1spp, 512x512)",
+        "metric": f"rays/s/chip, active lanes (bunny-scale standin, "
+                  f"8 bounces, 1spp, {size}x{size})",
         "value": round(s["rays_per_s"], 1),
         "unit": "rays/s",
         "vs_baseline": round(s["rays_per_s"] / 2.0e9, 4),
