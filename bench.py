@@ -25,6 +25,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent executable cache: kernel compiles ride a remote helper on
+    # the axon tunnel and can take minutes; cache across processes
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("FSPT_JAX_CACHE", "/tmp/fspt_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from fspt_tpu.config import RenderConfig
     from fspt_tpu.runtime.renderer import Renderer
     from fspt_tpu.testing import make_bunny_standin_scene

@@ -60,7 +60,8 @@ LANES = 128
 def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
                  t_ref, slot_ref, u_ref, v_ref, visits_ref,
                  panel, stack,
-                 *, leaf_size: int, any_hit: bool, stack_depth: int):
+                 *, leaf_size: int, any_hit: bool, stack_depth: int,
+                 table_rows: int):
     W = n_nodes_ref[0]
     ox = rays_ref[0, 0]
     oy = rays_ref[0, 1]
@@ -192,8 +193,16 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
         vis = vis + (1 - parked)
         return ncur, nptr, bt, bs, bu, bv, vis
 
+    # Runaway backstop: a correct walk can visit each unique node at most
+    # once per stack entry, so visits are bounded by the table size; cap
+    # far above that so a lowering bug terminates (with wrong pixels and a
+    # saturated visit count) instead of wedging the chip — a killed TPU
+    # client holds the device claim for ~25 min (.claude/skills/verify).
+    max_steps = 8 * (table_rows + 64)
+
     def cond(st):
-        return jnp.sum((st[0] != SENTINEL).astype(jnp.float32)) > 0.0
+        alive = jnp.sum((st[0] != SENTINEL).astype(jnp.float32)) > 0.0
+        return alive & (jnp.max(st[6]) < max_steps)
 
     ione = lambda v: jnp.full((WALKS, 1), v, jnp.int32)
     init = (ione(0), ione(1), t_init,
@@ -246,7 +255,8 @@ def packet_traverse3(nodes, leaves, origin: V3, direction: V3, tmax=None, *,
     n_nodes = jnp.full((1,), nodes.shape[0], jnp.int32)
 
     kernel = functools.partial(_walk_kernel, leaf_size=leaf_size,
-                               any_hit=any_hit, stack_depth=stack_depth)
+                               any_hit=any_hit, stack_depth=stack_depth,
+                               table_rows=int(table.shape[0]))
     out_block = pl.BlockSpec((1, WALKS, LANES), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((npg, WALKS, LANES), jnp.float32)

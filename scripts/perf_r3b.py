@@ -12,6 +12,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/fspt_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from fspt_tpu.config import RenderConfig
 from fspt_tpu.core.camera import generate_rays
 from fspt_tpu.core.integrator import _morton21, trace_paths
