@@ -59,7 +59,7 @@ LANES = 128
 
 def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
                  t_ref, slot_ref, u_ref, v_ref, visits_ref,
-                 panel, stack,
+                 panel, stack, walk_state,
                  *, leaf_size: int, any_hit: bool, stack_depth: int,
                  table_rows: int):
     W = n_nodes_ref[0]
@@ -78,12 +78,26 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
     ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
     # per-walk dominant direction signs, (8, 1) int32 vectors (narrow bool
     # vectors trip Mosaic's i8->i1 truncation, so logical walk state is
-    # int32 arithmetic throughout)
+    # int32 arithmetic throughout).
+    #
+    # NO vector while-loop carries: Mosaic's layout unification for carried
+    # vectors rejects the replicated-init vs concrete-body join this kernel
+    # produces ("Invalid relayout: non-singleton logical dimension is
+    # replicated in destination but not in source", measured on v5e for
+    # both (8, 1) and (8, 128) i32 carries).  All vector walk state lives
+    # in VMEM instead — cur/ptr in the walk_state scratch, best-hit planes
+    # directly in the output refs — and the loop carries ONE scalar
+    # continue-flag.  Loads from refs always have concrete layouts, so
+    # there is nothing to unify; the extra VMEM traffic is ~7 tiles/step
+    # against 8 dynamic row fetches already paid.
     sx = (jnp.sum(dx, axis=1, keepdims=True) >= 0.0).astype(jnp.int32)
     sy = (jnp.sum(dy, axis=1, keepdims=True) >= 0.0).astype(jnp.int32)
     sz = (jnp.sum(dz, axis=1, keepdims=True) >= 0.0).astype(jnp.int32)
 
     stack_iota = jax.lax.broadcasted_iota(jnp.int32, (WALKS, stack_depth), 1)
+
+    def lanes(a):
+        return jnp.broadcast_to(a, (WALKS, LANES))
 
     def fetch(sel):
         # 8 dynamic row reads into the panel scratch — the only scalar work
@@ -91,13 +105,19 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
             panel[s:s + 1, :] = table_ref[pl.ds(sel[s, 0], 1), :]
         return panel[:, :]
 
-    def step(st):
-        cur, ptr, bt, bs, bu, bv, vis = st
-        parked = (cur == SENTINEL).astype(jnp.int32)
-        is_leaf = ((cur < 0).astype(jnp.int32)) * (1 - parked)
-        is_node = (cur >= 0).astype(jnp.int32)
-        leaf_ord = -cur - 1
-        sel = is_node * cur + is_leaf * (W + leaf_ord)
+    def step(carry):
+        cur = walk_state[0:WALKS, :]                        # (8, 128)
+        ptr = walk_state[WALKS:2 * WALKS, :]
+        vis = visits_ref[0]
+        bt = t_ref[0]
+        bs = slot_ref[0]
+        bu = u_ref[0]
+        bv = v_ref[0]
+        parked = (cur[:, :1] == SENTINEL).astype(jnp.int32)   # (8, 1)
+        is_leaf = ((cur[:, :1] < 0).astype(jnp.int32)) * (1 - parked)
+        is_node = (cur[:, :1] >= 0).astype(jnp.int32)
+        leaf_ord = -cur[:, :1] - 1
+        sel = is_node * cur[:, :1] + is_leaf * (W + leaf_ord)
         sel = jnp.maximum(sel, 0)
         row = fetch(sel)                                    # (8, 128)
 
@@ -134,9 +154,9 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
         axis = row[:, 56:57]
         fwd = jnp.where(axis == 0.0, sx, jnp.where(axis == 1.0, sy, sz))
 
-        p = ptr
-        top = cur
-        pushed = jnp.zeros_like(cur)
+        p = ptr[:, :1]
+        top = cur[:, :1]
+        pushed = jnp.zeros_like(p)
         for j in range(8):
             link_j = jnp.where(fwd > 0, links[7 - j],
                                links[j]).astype(jnp.int32)
@@ -190,8 +210,18 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
                            axis=1, keepdims=True) >= float(LANES)
             ncur = jnp.where(done, SENTINEL, ncur)
             nptr = jnp.where(done, 0, nptr)
-        vis = vis + (1 - parked)
-        return ncur, nptr, bt, bs, bu, bv, vis
+        vis = vis + lanes(1 - parked)
+        walk_state[0:WALKS, :] = lanes(ncur)
+        walk_state[WALKS:2 * WALKS, :] = lanes(nptr)
+        visits_ref[0] = vis
+        t_ref[0] = bt
+        slot_ref[0] = bs
+        u_ref[0] = bu
+        v_ref[0] = bv
+        alive = jnp.sum((walk_state[0:WALKS, :1]
+                         != SENTINEL).astype(jnp.int32))
+        runaway = jnp.sum((vis[:, :1] >= max_steps).astype(jnp.int32))
+        return jnp.where((alive > 0) & (runaway == 0), 1, 0)
 
     # Runaway backstop: a correct walk can visit each unique node at most
     # once per stack entry, so visits are bounded by the table size; cap
@@ -200,23 +230,16 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
     # client holds the device claim for ~25 min (.claude/skills/verify).
     max_steps = 8 * (table_rows + 64)
 
-    def cond(st):
-        alive = jnp.sum((st[0] != SENTINEL).astype(jnp.float32)) > 0.0
-        return alive & (jnp.max(st[6]) < max_steps)
-
-    ione = lambda v: jnp.full((WALKS, 1), v, jnp.int32)
-    init = (ione(0), ione(1), t_init,
-            jnp.full((WALKS, LANES), -1, jnp.int32),
-            jnp.zeros((WALKS, LANES), jnp.float32),
-            jnp.zeros((WALKS, LANES), jnp.float32),
-            ione(0))
+    ione = lambda v: jnp.full((WALKS, LANES), v, jnp.int32)
+    walk_state[0:WALKS, :] = ione(0)           # cur = root
+    walk_state[WALKS:2 * WALKS, :] = ione(1)   # ptr = 1
+    visits_ref[0] = ione(0)
+    t_ref[0] = t_init
+    slot_ref[0] = jnp.full((WALKS, LANES), -1, jnp.int32)
+    u_ref[0] = jnp.zeros((WALKS, LANES), jnp.float32)
+    v_ref[0] = jnp.zeros((WALKS, LANES), jnp.float32)
     stack[:, 0:1] = jnp.full((WALKS, 1), SENTINEL, jnp.int32)
-    cur, ptr, bt, bs, bu, bv, vis = jax.lax.while_loop(cond, step, init)
-    t_ref[0] = bt
-    slot_ref[0] = bs
-    u_ref[0] = bu
-    v_ref[0] = bv
-    visits_ref[0] = jnp.broadcast_to(vis, (WALKS, LANES))
+    jax.lax.while_loop(lambda go: go > 0, step, jnp.int32(1))
 
 
 @functools.partial(jax.jit, static_argnames=("leaf_size", "any_hit",
@@ -274,7 +297,8 @@ def packet_traverse3(nodes, leaves, origin: V3, direction: V3, tmax=None, *,
         out_specs=[out_block] * 5,
         out_shape=[out_shape, out_shape_i, out_shape, out_shape, out_shape_i],
         scratch_shapes=[pltpu.VMEM((WALKS, LANES), jnp.float32),
-                        pltpu.VMEM((WALKS, stack_depth), jnp.int32)],
+                        pltpu.VMEM((WALKS, stack_depth), jnp.int32),
+                        pltpu.VMEM((2 * WALKS, LANES), jnp.int32)],
         interpret=interpret,
     )(n_nodes, table, rays)
 
