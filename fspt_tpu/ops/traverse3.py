@@ -6,10 +6,9 @@ walks the wide BVH with ~580-830 ns of SERIAL per-visit work (row fetch,
 pushes) against a 150-250 ns vector floor — and for incoherent bounce rays
 the 1024-ray node-set union is ~7x a single ray's need, so ~93% of the
 slab/triangle tests are wasted on lanes that don't want the node.  Making
-packets taller amortizes no better (unions grow ~linearly: 429 -> 799 ->
-1449 visits for 1024/2048/4096-ray packets); narrower per-walk unions are
-where the work reduction is, IF the per-visit serial cost can be paid once
-for MANY walks.
+packets taller amortizes no better; narrower per-walk unions are where the
+work reduction is, IF the per-visit serial cost can be paid once for MANY
+walks.
 
 v3 restructures the kernel so the serial cost is shared by 8 walks:
 
@@ -25,18 +24,23 @@ v3 restructures the kernel so the serial cost is shared by 8 walks:
   * node and leaf rows live in ONE unified (W + L, 128) table so each
     super-step does exactly 8 dynamic row fetches (the only remaining
     scalar work: extracting 8 row indices);
-  * the node test reads child boxes as (8, 1) sublane slices of the
-    fetched panel and broadcasts along lanes — single-axis broadcasts,
-    the shape Mosaic lowers natively (the v2 attempt died on fused
-    both-axis broadcasts);
   * votes are lane-reductions to (8, 1) — they never leave the vector
     domain.
 
+Mosaic layout constraint (measured on v5e): vector while-loop carries
+whose replicated-layout init must unify with a lane-replicated "{0,*}"
+body result fail to compile ("Invalid relayout: non-singleton logical
+dimension is replicated in destination but not in source", for both
+(8, 1) and (8, 128) i32 carries).  So the loop carries ONE scalar
+continue-flag and nothing else: all vector walk state is loaded from VMEM
+(walk-state scratch + output refs) once per loop body, advanced `unroll`
+visits in registers, and stored back once per body.  The cross-lane
+continue reduction is likewise paid once per `unroll` visits.
+
 A walk visits only the union of ITS 128 rays' node sets (~6x smaller than
 a 1024-ray union on sorted bounce rays), and the whole visit pipeline is
-vector work, so the serial-latency wall v1 hit does not exist here.
-Same packed tables (ops/packing.py), same PacketHit contract, bit-identical
-results (tests/test_fastbvh.py cross-checks).
+vector work.  Same packed tables (ops/packing.py), same PacketHit
+contract, bit-identical results (tests/test_fastbvh.py cross-checks).
 Reference hot loop being replaced: /root/reference/shader/tracer.fs:366-404.
 """
 
@@ -61,7 +65,7 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
                  t_ref, slot_ref, u_ref, v_ref, visits_ref,
                  panel, stack, walk_state,
                  *, leaf_size: int, any_hit: bool, stack_depth: int,
-                 table_rows: int):
+                 table_rows: int, unroll: int, stage: str):
     W = n_nodes_ref[0]
     ox = rays_ref[0, 0]
     oy = rays_ref[0, 1]
@@ -78,18 +82,7 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
     ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
     # per-walk dominant direction signs, (8, 1) int32 vectors (narrow bool
     # vectors trip Mosaic's i8->i1 truncation, so logical walk state is
-    # int32 arithmetic throughout).
-    #
-    # NO vector while-loop carries: Mosaic's layout unification for carried
-    # vectors rejects the replicated-init vs concrete-body join this kernel
-    # produces ("Invalid relayout: non-singleton logical dimension is
-    # replicated in destination but not in source", measured on v5e for
-    # both (8, 1) and (8, 128) i32 carries).  All vector walk state lives
-    # in VMEM instead — cur/ptr in the walk_state scratch, best-hit planes
-    # directly in the output refs — and the loop carries ONE scalar
-    # continue-flag.  Loads from refs always have concrete layouts, so
-    # there is nothing to unify; the extra VMEM traffic is ~7 tiles/step
-    # against 8 dynamic row fetches already paid.
+    # int32 arithmetic throughout)
     sx = (jnp.sum(dx, axis=1, keepdims=True) >= 0.0).astype(jnp.int32)
     sy = (jnp.sum(dy, axis=1, keepdims=True) >= 0.0).astype(jnp.int32)
     sz = (jnp.sum(dz, axis=1, keepdims=True) >= 0.0).astype(jnp.int32)
@@ -99,42 +92,33 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
     def lanes(a):
         return jnp.broadcast_to(a, (WALKS, LANES))
 
-    def fetch(sel):
+    def substep(st):
+        cur, ptr, bt, bs, bu, bv, vis = st       # registers, no VMEM state
+        parked = (cur == SENTINEL).astype(jnp.int32)          # (8, 1)
+        is_leaf = ((cur < 0).astype(jnp.int32)) * (1 - parked)
+        is_node = (cur >= 0).astype(jnp.int32)
+        leaf_ord = -cur - 1
+        sel = is_node * cur + is_leaf * (W + leaf_ord)
+        sel = jnp.maximum(sel, 0)
         # 8 dynamic row reads into the panel scratch — the only scalar work
         for s in range(WALKS):
             panel[s:s + 1, :] = table_ref[pl.ds(sel[s, 0], 1), :]
-        return panel[:, :]
-
-    def step(carry):
-        cur = walk_state[0:WALKS, :]                        # (8, 128)
-        ptr = walk_state[WALKS:2 * WALKS, :]
-        vis = visits_ref[0]
-        bt = t_ref[0]
-        bs = slot_ref[0]
-        bu = u_ref[0]
-        bv = v_ref[0]
-        parked = (cur[:, :1] == SENTINEL).astype(jnp.int32)   # (8, 1)
-        is_leaf = ((cur[:, :1] < 0).astype(jnp.int32)) * (1 - parked)
-        is_node = (cur[:, :1] >= 0).astype(jnp.int32)
-        leaf_ord = -cur[:, :1] - 1
-        sel = is_node * cur[:, :1] + is_leaf * (W + leaf_ord)
-        sel = jnp.maximum(sel, 0)
-        row = fetch(sel)                                    # (8, 128)
+        if stage == "value":
+            row = panel[:, :]
+            rd = lambda a, b: row[:, a:b]
+        else:
+            # slice straight from the scratch ref: ~70 tiny (8, 1) VMEM
+            # loads instead of lane-rotations of a materialized register
+            rd = lambda a, b: panel[:, a:b]
 
         # ---- node branch: slab-test 8 children of each walk's node -----
         def child_box(c):
-            mnx = row[:, c:c + 1]
-            mny = row[:, 8 + c:9 + c]
-            mnz = row[:, 16 + c:17 + c]
-            mxx = row[:, 24 + c:25 + c]
-            mxy = row[:, 32 + c:33 + c]
-            mxz = row[:, 40 + c:41 + c]
-            t1x = (mnx - ox) * ix
-            t2x = (mxx - ox) * ix
-            t1y = (mny - oy) * iy
-            t2y = (mxy - oy) * iy
-            t1z = (mnz - oz) * iz
-            t2z = (mxz - oz) * iz
+            t1x = (rd(c, c + 1) - ox) * ix
+            t2x = (rd(24 + c, 25 + c) - ox) * ix
+            t1y = (rd(8 + c, 9 + c) - oy) * iy
+            t2y = (rd(32 + c, 33 + c) - oy) * iy
+            t1z = (rd(16 + c, 17 + c) - oz) * iz
+            t2z = (rd(40 + c, 41 + c) - oz) * iz
             tmin = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
                                            jnp.minimum(t1y, t2y)),
                                jnp.minimum(t1z, t2z))
@@ -143,7 +127,7 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
                                jnp.maximum(t1z, t2z))
             return (tmax >= tmin) & (tmax > 0.0) & (tmin < bt)
 
-        links = [row[:, 48 + c:49 + c] for c in range(8)]   # (8, 1) f32
+        links = [rd(48 + c, 49 + c) for c in range(8)]        # (8, 1) f32
         wants = []
         for c in range(8):
             any_c = (jnp.sum(child_box(c).astype(jnp.float32), axis=1,
@@ -151,11 +135,11 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
             valid_c = (links[c] > -1.0e8).astype(jnp.int32)
             wants.append(any_c * valid_c * is_node)
 
-        axis = row[:, 56:57]
+        axis = rd(56, 57)
         fwd = jnp.where(axis == 0.0, sx, jnp.where(axis == 1.0, sy, sz))
 
-        p = ptr[:, :1]
-        top = cur[:, :1]
+        p = ptr
+        top = cur
         pushed = jnp.zeros_like(p)
         for j in range(8):
             link_j = jnp.where(fwd > 0, links[7 - j],
@@ -171,9 +155,10 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
 
         # ---- leaf branch: Moller-Trumbore the walk's leaf_size tris ----
         slot_base = leaf_ord * leaf_size
+        leaf_mask = jnp.broadcast_to(is_leaf, (WALKS, LANES)) > 0
         for j in range(leaf_size):
             b = 9 * j
-            c = [row[:, b + i:b + i + 1] for i in range(9)]
+            c = [rd(b + i, b + i + 1) for i in range(9)]
             px = dy * c[8] - dz * c[7]
             py = dz * c[6] - dx * c[8]
             pz = dx * c[7] - dy * c[6]
@@ -188,7 +173,7 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
             qz = tx * c[4] - ty * c[3]
             ww = (dx * qx + dy * qy + dz * qz) * inv
             tt = (c[6] * qx + c[7] * qy + c[8] * qz) * inv
-            ok = ((jnp.broadcast_to(is_leaf, (WALKS, LANES)) > 0)
+            ok = (leaf_mask
                   & (jnp.abs(det) >= 1e-6)
                   & (uu >= 0.0) & (uu <= 1.0) & (ww >= 0.0)
                   & (uu + ww <= 1.0) & (tt > 1e-6) & (tt < bt))
@@ -210,18 +195,8 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
                            axis=1, keepdims=True) >= float(LANES)
             ncur = jnp.where(done, SENTINEL, ncur)
             nptr = jnp.where(done, 0, nptr)
-        vis = vis + lanes(1 - parked)
-        walk_state[0:WALKS, :] = lanes(ncur)
-        walk_state[WALKS:2 * WALKS, :] = lanes(nptr)
-        visits_ref[0] = vis
-        t_ref[0] = bt
-        slot_ref[0] = bs
-        u_ref[0] = bu
-        v_ref[0] = bv
-        alive = jnp.sum((walk_state[0:WALKS, :1]
-                         != SENTINEL).astype(jnp.int32))
-        runaway = jnp.sum((vis[:, :1] >= max_steps).astype(jnp.int32))
-        return jnp.where((alive > 0) & (runaway == 0), 1, 0)
+        vis = vis + (1 - parked)
+        return ncur, nptr, bt, bs, bu, bv, vis
 
     # Runaway backstop: a correct walk can visit each unique node at most
     # once per stack entry, so visits are bounded by the table size; cap
@@ -229,6 +204,26 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
     # saturated visit count) instead of wedging the chip — a killed TPU
     # client holds the device claim for ~25 min (.claude/skills/verify).
     max_steps = 8 * (table_rows + 64)
+
+    def body(go):
+        st = (walk_state[0:WALKS, 0:1].astype(jnp.int32),
+              walk_state[WALKS:2 * WALKS, 0:1].astype(jnp.int32),
+              t_ref[0], slot_ref[0], u_ref[0], v_ref[0],
+              visits_ref[0][:, 0:1])
+        for _ in range(unroll):
+            st = substep(st)
+        cur, ptr, bt, bs, bu, bv, vis = st
+        walk_state[0:WALKS, :] = lanes(cur)
+        walk_state[WALKS:2 * WALKS, :] = lanes(ptr)
+        visits_ref[0] = lanes(vis)
+        t_ref[0] = bt
+        slot_ref[0] = bs
+        u_ref[0] = bu
+        v_ref[0] = bv
+        # one fused cross-lane reduction per `unroll` visits
+        keep = lanes((cur != SENTINEL).astype(jnp.int32)
+                     * (vis < max_steps).astype(jnp.int32))
+        return jnp.sum(keep)
 
     ione = lambda v: jnp.full((WALKS, LANES), v, jnp.int32)
     walk_state[0:WALKS, :] = ione(0)           # cur = root
@@ -239,17 +234,29 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
     u_ref[0] = jnp.zeros((WALKS, LANES), jnp.float32)
     v_ref[0] = jnp.zeros((WALKS, LANES), jnp.float32)
     stack[:, 0:1] = jnp.full((WALKS, 1), SENTINEL, jnp.int32)
-    jax.lax.while_loop(lambda go: go > 0, step, jnp.int32(1))
+    jax.lax.while_loop(lambda go: go > 0, body, jnp.int32(1))
 
 
 @functools.partial(jax.jit, static_argnames=("leaf_size", "any_hit",
-                                             "stack_depth", "interpret"))
+                                             "stack_depth", "interpret",
+                                             "unroll", "stage"))
 def packet_traverse3(nodes, leaves, origin: V3, direction: V3, tmax=None, *,
                      leaf_size: int = 8, any_hit: bool = False,
                      stack_depth: int = 64,
-                     interpret: bool = False) -> PacketHit:
+                     interpret: bool = False,
+                     unroll: int = 4, stage: str = "value") -> PacketHit:
     """v3 multiwalk traversal: same contract as ops/traverse.packet_traverse
-    (visits are per-128-ray walk rather than per-1024-ray packet)."""
+    (visits are per-128-ray walk rather than per-1024-ray packet).
+
+    unroll: traversal visits advanced per while-loop body (state stays in
+    registers; VMEM round-trips and the continue reduction amortize 1/U).
+    Walks may overshoot by up to U-1 parked visits at the tail; parked
+    substeps are no-ops, so results are unchanged (visits counts exclude
+    them).
+    stage: "value" materializes each fetched row panel once and
+    lane-slices the register value; "ref" re-slices the VMEM scratch
+    directly per field.
+    """
     check_vmem_budget(nodes, leaves)
     n = origin.x.shape[0]
     group = WALKS * LANES
@@ -279,7 +286,8 @@ def packet_traverse3(nodes, leaves, origin: V3, direction: V3, tmax=None, *,
 
     kernel = functools.partial(_walk_kernel, leaf_size=leaf_size,
                                any_hit=any_hit, stack_depth=stack_depth,
-                               table_rows=int(table.shape[0]))
+                               table_rows=int(table.shape[0]),
+                               unroll=unroll, stage=stage)
     out_block = pl.BlockSpec((1, WALKS, LANES), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((npg, WALKS, LANES), jnp.float32)
