@@ -45,7 +45,8 @@ def main():
     build_s = time.time() - t0
 
     cfg = RenderConfig(width=size, height=size, bounces=8,
-                       extra_refraction_iters=0, batch_spp=1)
+                       extra_refraction_iters=0, batch_spp=1,
+                       compact=True)
     r = Renderer(scene, cfg)
 
     t0 = time.time()

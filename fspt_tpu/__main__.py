@@ -38,6 +38,10 @@ def _add_render_args(p):
                    help="checkpoint path for resume")
     p.add_argument("--stats", action="store_true",
                    help="print rays/s stats JSON to stderr")
+    p.add_argument("--no-compact", action="store_true",
+                   help="disable active-lane compaction between bounces "
+                        "(exact-replay/debug mode; compaction is unbiased "
+                        "and on by default for rendering)")
 
 
 def _build(args):
@@ -49,7 +53,7 @@ def _build(args):
     scene = load_scene_file(args.scene)
     cfg = RenderConfig(width=w, height=h, bounces=args.bounces,
                        batch_spp=args.batch_spp, mode=args.mode,
-                       seed=args.seed)
+                       seed=args.seed, compact=not args.no_compact)
     post = None
     if args.denoise or args.exposure is not None:
         post = PostConfig(
@@ -97,7 +101,8 @@ def cmd_animate(args) -> int:
         scene_dict = json.load(f)
     loader = AssetLoader(os.path.dirname(os.path.abspath(args.scene)))
     cfg = RenderConfig(width=w, height=h, bounces=args.bounces,
-                       batch_spp=args.batch_spp, seed=args.seed)
+                       batch_spp=args.batch_spp, seed=args.seed,
+                       compact=not args.no_compact)
     paths = render_animation(
         scene_dict, loader, args.out_dir,
         range(args.start, args.end), config=cfg, samples=args.samples,

@@ -75,6 +75,25 @@ class RenderConfig:
     # Sort secondary rays by direction octant before traversal so packets
     # stay coherent (stable sort preserves tile grouping within octants)
     sort_rays: bool = True
+    # Active-lane compaction (core/integrator._compact): statically shrink
+    # the path state between bounce iterations, Russian-roulette-reweighting
+    # when live lanes exceed the next width, so per-iteration cost tracks
+    # occupancy instead of staying O(n_pixels) for all max_iters.  Unbiased;
+    # sample-exact to the uncompacted estimator whenever occupancy stays
+    # under the schedule (all per-lane RNG is keyed by global lane id).
+    # Default off so estimator-parity tests and goldens are untouched;
+    # bench.py / the CLI / the viewer turn it on.
+    compact: bool = False
+    # Width divisor per bounce iteration (last entry repeats): iteration i
+    # runs at ceil(n / compact_schedule[i]) lanes.  The default tracks the
+    # measured bunny-bench occupancy collapse (0.68, 0.10, 0.04, <=0.01).
+    compact_schedule: Tuple[int, ...] = (1, 4, 16, 32)
+    # Pack the four material maps (+x-neighbor texels) into one combined
+    # row table per traced sample so a full bilinear material fetch costs
+    # 2 gathers instead of 16 (core/integrator.TexTables).  Automatically
+    # falls back to per-map fetches when the combined table would exceed
+    # the in-module memory guard.
+    packed_textures: bool = True
     # Area-light next-event estimation with MIS.  The reference shipped this
     # broken and disabled (dead lightTex/numLights uniforms, tracer.fs:18,27;
     # README.md:33 "Light sampling is currently broken"); here it works.

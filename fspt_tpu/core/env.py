@@ -58,6 +58,41 @@ def bilinear_wrap_x(env_rgb: V3, hw, u, v) -> V3:
     return V3(out[:, 0], out[:, 1], out[:, 2])
 
 
+def pack_env_rows(env_rgb: V3, hw):
+    """(H*W, 6) x-neighbor-packed env table: row (y, x) holds
+    [rgb(x), rgb(x+1 mod W)].  Bilinear filtering then needs TWO row
+    gathers (y0 and y1) instead of four corner gathers — TPU gather cost
+    is per-index.  Built once per traced sample (differentiable: its VJP
+    scatters back onto the env planes, a train-step parameter)."""
+    h, w = hw
+    rgb = jnp.stack([env_rgb.x, env_rgb.y, env_rgb.z],
+                    axis=-1).reshape(h, w, 3)
+    nxt = jnp.roll(rgb, -1, axis=1)
+    return jnp.concatenate([rgb, nxt], axis=-1).reshape(h * w, 6)
+
+
+def env_radiance_rows(env6, hw, direction: V3, theta) -> V3:
+    """env_radiance against the pack_env_rows table: 2 gathers, same
+    REPEAT-u / CLAMP-v GL LINEAR semantics as bilinear_wrap_x."""
+    h, w = hw
+    u, v = env_uv(direction, theta)
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = (x - x0f)[:, None]
+    fy = (y - y0f)[:, None]
+    x0 = jnp.mod(x0f.astype(jnp.int32), w)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    r0 = env6[y0 * w + x0]
+    r1 = env6[y1 * w + x0]
+    top = r0[:, 0:3] * (1 - fx) + r0[:, 3:6] * fx
+    bot = r1[:, 0:3] * (1 - fx) + r1[:, 3:6] * fx
+    out = top * (1 - fy) + bot * fy
+    return V3(out[:, 0], out[:, 1], out[:, 2])
+
+
 def env_uv(direction: V3, theta):
     """Equirect direction -> uv (tracer.fs:416-418):
     u = theta + atan2(z, x) / tau  (wraps),  v = asin(-y)/pi + 0.5."""
@@ -75,18 +110,26 @@ def env_radiance(env_rgb: V3, hw, direction: V3, theta) -> V3:
 def sample_env_bins(bins, n_bins, env_hw, theta, u1, u2, u3):
     """Draw env directions from the radiance bins (tracer.fs:421-434).
 
-    bins: 4-tuple of flat (B,) planes [x0, y0, x1, y1] in pixels;
-    n_bins: traced scalar; env_hw: static (H, W).
+    bins: 4-tuple of flat (B,) planes [x0, y0, x1, y1] in pixels, or one
+    (B, 4) row table (one gather instead of four — TPU gather cost is
+    per-index); n_bins: traced scalar; env_hw: static (H, W).
     Returns (dir V3 (N,), pdf (N,)).
     """
     h, w = env_hw
-    bx0, by0, bx1, by1 = bins
     nb = n_bins.astype(jnp.float32)
     idx = jnp.clip((nb * u1).astype(jnp.int32), 0, n_bins - 1)
-    x0 = bx0[idx]
-    y0 = by0[idx]
-    bw = bx1[idx] - x0
-    bh = by1[idx] - y0
+    if isinstance(bins, tuple):
+        bx0, by0, bx1, by1 = bins
+        x0 = bx0[idx]
+        y0 = by0[idx]
+        bw = bx1[idx] - x0
+        bh = by1[idx] - y0
+    else:
+        b = bins[idx]
+        x0 = b[:, 0]
+        y0 = b[:, 1]
+        bw = b[:, 2] - x0
+        bh = b[:, 3] - y0
     u = (-theta) + (bw * u2 + x0) / w
     v = (bh * u3 + y0) / h
     th = u * M_TAU

@@ -41,7 +41,8 @@ import jax.numpy as jnp
 from fspt_tpu.config import RenderConfig
 from fspt_tpu.core import brdf
 from fspt_tpu.core import vec
-from fspt_tpu.core.env import env_radiance, sample_env_bins
+from fspt_tpu.core.env import (env_radiance, env_radiance_rows,
+                               pack_env_rows, sample_env_bins)
 from fspt_tpu.core.rng import stream_uniforms
 from fspt_tpu.core.vec import V3, dot, normalize, where
 from fspt_tpu.ops.traverse import PacketHit, packet_traverse
@@ -208,20 +209,100 @@ def atlas_fetch_rgb(scene, meta, layer, u, v, rows=None) -> V3:
     return V3(out[:, 0], out[:, 1], out[:, 2])
 
 
+class TexTables(NamedTuple):
+    """Loop-invariant texture tables, built once per traced sample.
+
+    TPU gather cost is per-index, not per-byte (scripts/perf_gather.py), so
+    the shading hot path packs everything a shading point needs into as few
+    row gathers as possible:
+
+      mat_tex: (U*R*R, 24) — all four material maps (diffuse, emissive,
+          normal, metallicRoughness = 12 channels) of each combined
+          material (scene.map_c / scene.mat_layers), plus the x-neighbor
+          texel's 12 channels.  A full bilinear fetch of all four maps is
+          then 2 gathers (y0 row, y1 row) instead of 16.  None when the
+          packed table would exceed the memory guard — the per-map
+          atlas_rows fallback path is used instead.
+      env6: (H*W, 6) — x-neighbor-packed environment map
+          (core/env.pack_env_rows): bilinear env radiance in 2 gathers.
+      bins4: (B, 4) — env importance bins as rows: 1 gather per sample.
+      atlas_rows: (L*R*R, 3) — fallback per-map table (also the table the
+          heatmap/abridged paths use).
+    """
+
+    mat_tex: jnp.ndarray
+    env6: jnp.ndarray
+    bins4: jnp.ndarray
+    atlas_rows: jnp.ndarray
+
+
+# Packed-material-table memory guard: combined (U, R, R, 24) f32 texels.
+# Above this, fall back to per-map fetches instead of materializing a
+# multi-GiB table in HBM.
+_MAT_TEX_BUDGET_BYTES = 2 * 1024 ** 3
+
+
+def _packed_tables(scene, cfg: RenderConfig, meta) -> TexTables:
+    atlas_rows = jnp.stack([scene.atlas_r, scene.atlas_g, scene.atlas_b],
+                           axis=-1)
+    r = meta.atlas_res
+    n_mat = scene.mat_layers.shape[0]
+    mat_tex = None
+    if cfg.packed_textures and n_mat * r * r * 24 * 4 <= _MAT_TEX_BUDGET_BYTES:
+        layers = atlas_rows.reshape(meta.atlas_layers, r, r, 3)
+        combo = jnp.concatenate(
+            [layers[scene.mat_layers[:, k]] for k in range(4)], axis=-1)
+        nxt = jnp.roll(combo, -1, axis=2)          # x-neighbor, REPEAT wrap
+        mat_tex = jnp.concatenate([combo, nxt],
+                                  axis=-1).reshape(n_mat * r * r, 24)
+    env6 = pack_env_rows(scene.env_rgb, (meta.env_h, meta.env_w))
+    bins4 = jnp.stack([scene.bin_x0, scene.bin_y0, scene.bin_x1,
+                       scene.bin_y1], axis=-1)
+    return TexTables(mat_tex=mat_tex, env6=env6, bins4=bins4,
+                     atlas_rows=atlas_rows)
+
+
+def atlas_fetch_all(mat_tex, meta, map_c, u, v):
+    """Bilinear fetch of all four material maps at once from the packed
+    (U*R*R, 24) table: 2 row gathers.  Same REPEAT wrap / v-flip semantics
+    as atlas_fetch_rgb.  Returns (diffuse, emissive, normal_rgb, mr)."""
+    r = meta.atlas_res
+    x = u * r - 0.5
+    y = (1.0 - v) * r - 0.5
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    fx = (x - x0f)[:, None]
+    fy = (y - y0f)[:, None]
+    x0 = jnp.mod(x0f.astype(jnp.int32), r)
+    y0 = jnp.mod(y0f.astype(jnp.int32), r)
+    y1 = jnp.mod(y0 + 1, r)
+    base = map_c * (r * r)
+    r0 = mat_tex[base + y0 * r + x0]
+    r1 = mat_tex[base + y1 * r + x0]
+    top = r0[:, 0:12] * (1 - fx) + r0[:, 12:24] * fx
+    bot = r1[:, 0:12] * (1 - fx) + r1[:, 12:24] * fx
+    out = top * (1 - fy) + bot * fy
+    c3 = lambda i: V3(out[:, i], out[:, i + 1], out[:, i + 2])
+    return c3(0), c3(3), c3(6), c3(9)
+
+
 class PathState(NamedTuple):
-    origin: V3                 # (N,) planes
+    origin: V3                 # (W,) planes
     direction: V3
-    t: jnp.ndarray             # (N,) current-hit distance
-    slot: jnp.ndarray          # (N,) current-hit slot (-1 miss)
-    bu: jnp.ndarray            # (N,) hit barycentric (corner 1)
-    bv: jnp.ndarray            # (N,) hit barycentric (corner 2)
+    t: jnp.ndarray             # (W,) current-hit distance
+    slot: jnp.ndarray          # (W,) current-hit slot (-1 miss)
+    bu: jnp.ndarray            # (W,) hit barycentric (corner 1)
+    bv: jnp.ndarray            # (W,) hit barycentric (corner 2)
     throughput: V3
-    color: V3
-    bounces_used: jnp.ndarray  # (N,) i32
-    active: jnp.ndarray        # (N,) bool
-    prev_pdf: jnp.ndarray      # (N,) solid-angle pdf of the ray that
+    color: V3                  # radiance accumulated since the last
+                               # compaction deposit (== total when the
+                               # compaction pipeline is off)
+    bounces_used: jnp.ndarray  # (W,) i32
+    active: jnp.ndarray        # (W,) bool
+    prev_pdf: jnp.ndarray      # (W,) solid-angle pdf of the ray that
                                # produced this hit (for emissive-hit MIS
                                # when light NEE is on; huge => weight 1)
+    lidx: jnp.ndarray          # (W,) i32 — local lane (framebuffer index)
+    gid: jnp.ndarray           # (W,) i32 — global RNG lane id (core/rng.py)
 
 
 class TraceStats(NamedTuple):
@@ -238,45 +319,153 @@ class TraceStats(NamedTuple):
     visits: jnp.ndarray       # (max_iters,) f32 — summed node visits / lane
 
 
+# RNG stream id base for compaction survivor selection (streams 1..max_iters
+# are the shading streams; keep a gap above any plausible max_iters)
+_RR_STREAM = 64
+
+
+def _compact(state: PathState, acc, key, it: int, w_out: int):
+    """Shrink the path state to `w_out` lanes, unbiasedly.
+
+    TPU shapes are static, so "trace only the live rays" cannot be a
+    dynamic-size launch (the GPU wavefront-compaction move).  Instead the
+    state is *statically* re-bucketed: pending radiance is deposited into
+    the full-width accumulator, then the survivors are a uniform random
+    min(A, w_out)-subset of the A active lanes (smallest per-lane RNG key
+    wins), and every survivor's throughput is scaled by A / w_out when
+    A > w_out — classic Russian-roulette reweighting, so the estimator
+    stays unbiased no matter how aggressive the schedule is.  When
+    A <= w_out (the common case with the default schedule) the selection
+    keeps every active lane with weight 1 and the estimator is unchanged
+    lane-for-lane, because all per-lane randomness is keyed by the global
+    lane id (core/rng.py), not by buffer position.
+
+    Cost: one (W_in,) sort + two row gathers + one row scatter-add; pays
+    for itself many times over because every downstream per-iteration cost
+    (shading gathers, coherence sort, traversal, BRDF math) scales with
+    the static width, and measured occupancy collapses after bounce 0
+    (0.68 -> 0.10 -> 0.04 -> 0.01 on the bunny bench).
+    """
+    w_in = state.lidx.shape[0]
+    # deposit pending radiance at full width (survivors restart at 0)
+    acc = acc.at[state.lidx].add(
+        jnp.stack([state.color.x, state.color.y, state.color.z], axis=-1),
+        unique_indices=True, mode="promise_in_bounds")
+    active = state.active
+    n_active = jnp.sum(active.astype(jnp.int32))
+    u = stream_uniforms(key, _RR_STREAM + it, (1, w_in),
+                        lane_offset=state.gid)[0]
+    skey = jnp.where(active, sg(u), 2.0)   # inactive lanes sort last
+    order = jnp.arange(w_in, dtype=jnp.int32)
+    _, perm = jax.lax.sort((skey, order), num_keys=1, is_stable=False)
+    sel = perm[:w_out]
+
+    # two row gathers move the whole state (TPU gather cost is per-index)
+    frows = jnp.stack([
+        state.origin.x, state.origin.y, state.origin.z,
+        state.direction.x, state.direction.y, state.direction.z,
+        state.t, state.bu, state.bv,
+        state.throughput.x, state.throughput.y, state.throughput.z,
+        state.prev_pdf], axis=-1)[sel]
+    irows = jnp.stack([state.slot, state.bounces_used,
+                       state.active.astype(jnp.int32),
+                       state.lidx, state.gid], axis=-1)[sel]
+    new_active = irows[:, 2] > 0
+    scale = jnp.where(n_active > w_out,
+                      n_active.astype(jnp.float32) / jnp.float32(w_out), 1.0)
+    thr = V3(frows[:, 9], frows[:, 10], frows[:, 11]) * scale
+    zero = jnp.zeros(w_out, jnp.float32)
+    return PathState(
+        origin=V3(frows[:, 0], frows[:, 1], frows[:, 2]),
+        direction=V3(frows[:, 3], frows[:, 4], frows[:, 5]),
+        t=frows[:, 6], slot=irows[:, 0], bu=frows[:, 7], bv=frows[:, 8],
+        throughput=thr, color=V3(zero, zero, zero),
+        bounces_used=irows[:, 1], active=new_active,
+        prev_pdf=frows[:, 12], lidx=irows[:, 3], gid=irows[:, 4]), acc
+
+
+def _compact_groups(cfg: RenderConfig, n: int):
+    """Run-length-encode the compaction schedule into (width, n_iters)
+    groups; iterations within a group share one lax.scan (one compiled
+    body per distinct width)."""
+    sched = cfg.compact_schedule
+    groups = []
+    prev_w = n
+    for it in range(cfg.max_iters):
+        div = sched[min(it, len(sched) - 1)]
+        w = min(prev_w, max(128, -(-n // div)))
+        if groups and w == groups[-1][0]:
+            groups[-1][1] += 1
+        else:
+            groups.append([w, 1])
+        prev_w = w
+    return groups
+
+
 def trace_paths(scene, cfg: RenderConfig, meta, origin: V3, direction: V3,
                 key, lane_offset=0, return_stats: bool = False):
     """Path-trace one sample for every input ray. Returns V3 (N,) radiance
     (or (radiance, TraceStats) when return_stats).
 
-    lane_offset: global lane index of ray 0 — threads through to the
-    counter-based RNG so sharded renders reproduce the single-device
-    estimator bit-for-bit (core/rng.py)."""
+    lane_offset: global lane index of ray 0 (scalar, or an (N,) array of
+    explicit ids) — threads through to the counter-based RNG so sharded
+    renders reproduce the single-device estimator bit-for-bit
+    (core/rng.py)."""
     n = origin.x.shape[0]
     env_hw = (meta.env_h, meta.env_w)
+    lane_offset = jnp.asarray(lane_offset)
+    if lane_offset.ndim == 0:
+        gid0 = lane_offset.astype(jnp.int32) + jnp.arange(n, dtype=jnp.int32)
+    else:
+        gid0 = lane_offset.astype(jnp.int32)
+
+    # Loop-invariant texture tables, built ONCE outside the bounce scan
+    # (round-2 ADVICE item 3: don't rely on XLA hoisting materialized
+    # buffers out of the scan body on every backend):
+    tex = _packed_tables(scene, cfg, meta)
+    attr = _attr_table(scene)
 
     primary = intersect(scene, cfg, meta, origin, direction)
     prim_slot = primary.slot
     miss = prim_slot < 0
     zero = vec.splat(0.0, like=origin.x)
-    color = where(miss, env_radiance(scene.env_rgb, env_hw, direction,
-                                     scene.env_theta), zero)
+    color = where(miss, env_radiance_rows(tex.env6, env_hw, direction,
+                                          scene.env_theta), zero)
 
     state = PathState(
         origin=origin, direction=direction, t=primary.t, slot=prim_slot,
         bu=primary.u, bv=primary.v,
         throughput=vec.splat(1.0, like=origin.x), color=color,
         bounces_used=jnp.zeros(n, jnp.int32), active=~miss,
-        prev_pdf=jnp.full(n, 1.0e16, jnp.float32))
-
-    # Loop-invariant shading tables, built ONCE outside the bounce scan
-    # (round-2 ADVICE item 3: don't rely on XLA hoisting materialized
-    # buffers out of the scan body on every backend):
-    attr = _attr_table(scene)
-    atlas_rows = jnp.stack([scene.atlas_r, scene.atlas_g, scene.atlas_b],
-                           axis=-1)
+        prev_pdf=jnp.full(n, 1.0e16, jnp.float32),
+        lidx=jnp.arange(n, dtype=jnp.int32), gid=gid0)
 
     def body(state: PathState, it):
-        u = stream_uniforms(key, 1 + it, (11, n), lane_offset=lane_offset)
+        w = state.lidx.shape[0]
+        u = stream_uniforms(key, 1 + it, (11, w), lane_offset=state.gid)
         return _shade_and_scatter(scene, cfg, meta, state, u, env_hw,
-                                  attr, atlas_rows)
+                                  attr, tex)
 
-    state, per_it = jax.lax.scan(body, state, jnp.arange(cfg.max_iters))
-    c = state.color
+    if not cfg.compact:
+        state, per_it = jax.lax.scan(body, state, jnp.arange(cfg.max_iters))
+        c = state.color
+    else:
+        acc = jnp.zeros((n, 3), jnp.float32)
+        per_groups = []
+        it0 = 0
+        for w, count in _compact_groups(cfg, n):
+            if w < state.lidx.shape[0]:
+                state, acc = _compact(state, acc, key, it0, w)
+            state, per_g = jax.lax.scan(body, state,
+                                        jnp.arange(it0, it0 + count))
+            per_groups.append(per_g)
+            it0 += count
+        acc = acc.at[state.lidx].add(
+            jnp.stack([state.color.x, state.color.y, state.color.z], -1),
+            unique_indices=True, mode="promise_in_bounds")
+        c = V3(acc[:, 0], acc[:, 1], acc[:, 2])
+        per_it = jax.tree.map(lambda *xs: jnp.concatenate(xs), *per_groups)
+
     radiance = V3(jnp.clip(c.x, 0.0, cfg.radiance_clamp),
                   jnp.clip(c.y, 0.0, cfg.radiance_clamp),
                   jnp.clip(c.z, 0.0, cfg.radiance_clamp))
@@ -294,7 +483,7 @@ def _corner_lerp(c0: V3, c1: V3, c2: V3, w0, u, v) -> V3:
 
 
 def _attr_table(scene):
-    """The (S, 42) per-slot shading-attribute row table.
+    """The (S, 43) per-slot shading-attribute row table.
 
     TPU gather cost is per-index, not per-byte (a 48-wide row gather
     measures the same ~3 ms / 262k lanes as a scalar gather on v5e —
@@ -320,16 +509,22 @@ def _attr_table(scene):
         # atlas layer ids as f32 (exact below 2^24 layers)
         scene.map_d.astype(jnp.float32), scene.map_e.astype(jnp.float32),
         scene.map_n.astype(jnp.float32), scene.map_mr.astype(jnp.float32),
+        scene.map_c.astype(jnp.float32),
     ], axis=-1)
 
 
 def _shade_and_scatter(scene, cfg: RenderConfig, meta, s: PathState, u,
-                       env_hw, attr, atlas_rows):
+                       env_hw, attr, tex: TexTables):
     active = s.active & (s.slot >= 0)
     slot = sg(jnp.maximum(s.slot, 0))
 
-    # ---- gather hit attributes: ONE (N, 42) row gather -----------------
-    row = attr[slot]                                   # (N, 42)
+    def env_rad(d):
+        if tex.env6 is not None:
+            return env_radiance_rows(tex.env6, env_hw, d, scene.env_theta)
+        return env_radiance(scene.env_rgb, env_hw, d, scene.env_theta)
+
+    # ---- gather hit attributes: ONE (N, 43) row gather -----------------
+    row = attr[slot]                                   # (N, 43)
 
     def col3(i):
         return V3(row[:, i], row[:, i + 1], row[:, i + 2])
@@ -337,10 +532,6 @@ def _shade_and_scatter(scene, cfg: RenderConfig, meta, s: PathState, u,
     emitt = col3(33)
     ior = row[:, 36]
     dielectric = row[:, 37]
-    map_d = sg(row[:, 38]).astype(jnp.int32)
-    map_e = sg(row[:, 39]).astype(jnp.int32)
-    map_n = sg(row[:, 40]).astype(jnp.int32)
-    map_mr = sg(row[:, 41]).astype(jnp.int32)
     bu, bv = sg(s.bu), sg(s.bv)
     w0 = 1.0 - bu - bv
     tex_u = row[:, 27] * w0 + row[:, 29] * bu + row[:, 31] * bv
@@ -350,11 +541,21 @@ def _shade_and_scatter(scene, cfg: RenderConfig, meta, s: PathState, u,
     bary_bt = _corner_lerp(col3(18), col3(21), col3(24), w0, bu, bv)
 
     # ---- atlas fetches (tracer.fs:453-456) -----------------------------
-    tex_diffuse = atlas_fetch_rgb(scene, meta, map_d, tex_u, tex_v, atlas_rows)
-    tex_emissive = atlas_fetch_rgb(scene, meta, map_e, tex_u, tex_v, atlas_rows)
-    mr = atlas_fetch_rgb(scene, meta, map_mr, tex_u, tex_v, atlas_rows)
+    if tex.mat_tex is not None:
+        map_c = sg(row[:, 42]).astype(jnp.int32)
+        tex_diffuse, tex_emissive, tn, mr = atlas_fetch_all(
+            tex.mat_tex, meta, map_c, tex_u, tex_v)
+    else:
+        map_d = sg(row[:, 38]).astype(jnp.int32)
+        map_e = sg(row[:, 39]).astype(jnp.int32)
+        map_n = sg(row[:, 40]).astype(jnp.int32)
+        map_mr = sg(row[:, 41]).astype(jnp.int32)
+        ar = tex.atlas_rows
+        tex_diffuse = atlas_fetch_rgb(scene, meta, map_d, tex_u, tex_v, ar)
+        tex_emissive = atlas_fetch_rgb(scene, meta, map_e, tex_u, tex_v, ar)
+        mr = atlas_fetch_rgb(scene, meta, map_mr, tex_u, tex_v, ar)
+        tn = atlas_fetch_rgb(scene, meta, map_n, tex_u, tex_v, ar)
     metallic, roughness = mr.x, mr.y ** 2                # tracer.fs:457
-    tn = atlas_fetch_rgb(scene, meta, map_n, tex_u, tex_v, atlas_rows)
     tex_normal = V3((tn.x - 0.5) * 2.0, (tn.y - 0.5) * 2.0, tn.z)
 
     # ---- shading frame (tracer.fs:332-337,459-463) --------------------
@@ -388,8 +589,8 @@ def _shade_and_scatter(scene, cfg: RenderConfig, meta, s: PathState, u,
     # ---- samples -------------------------------------------------------
     micro_n = brdf.sample_microfacet(macro_n, roughness, sg(u[0]), sg(u[1]))
     env_dir, env_pdf = sample_env_bins(
-        (scene.bin_x0, scene.bin_y0, scene.bin_x1, scene.bin_y1),
-        scene.n_bins, env_hw, scene.env_theta, sg(u[2]), sg(u[3]), sg(u[4]))
+        tex.bins4, scene.n_bins, env_hw, scene.env_theta,
+        sg(u[2]), sg(u[3]), sg(u[4]))
     env_dir = sg(env_dir)
     cos_env = dot(macro_n, env_dir)
 
@@ -503,9 +704,7 @@ def _shade_and_scatter(scene, cfg: RenderConfig, meta, s: PathState, u,
     shadow_open = seg(1).slot < 0
 
     # ---- NEE env contribution (tracer.fs:499-505) ----------------------
-    nee = (s.throughput * env_throughput
-           * env_radiance(scene.env_rgb, env_hw, env_dir, scene.env_theta)
-           * w_env)
+    nee = (s.throughput * env_throughput * env_rad(env_dir) * w_env)
     color = color + where(shadow_wanted & shadow_open, nee, zero)
 
     # ---- NEE area-light contribution (working version of the
@@ -528,9 +727,7 @@ def _shade_and_scatter(scene, cfg: RenderConfig, meta, s: PathState, u,
 
     # ---- scatter-ray env hit (tracer.fs:509-512) -----------------------
     scat_miss = active & (nxt.slot < 0)
-    esc = (throughput
-           * env_radiance(scene.env_rgb, env_hw, new_dir, scene.env_theta)
-           * w_bsdf)
+    esc = throughput * env_rad(new_dir) * w_bsdf
     color = color + where(scat_miss, esc, zero)
 
     # ---- bookkeeping ----------------------------------------------------
@@ -555,6 +752,7 @@ def _shade_and_scatter(scene, cfg: RenderConfig, meta, s: PathState, u,
         bounces_used=bounces_used,
         active=still_active,
         prev_pdf=jnp.where(active & ~refractive, sg(bsdf_pdf), s.prev_pdf),
+        lidx=s.lidx, gid=s.gid,
     ), per_it
 
 

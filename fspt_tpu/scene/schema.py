@@ -81,6 +81,13 @@ class SceneArrays(NamedTuple):
     map_e: np.ndarray           # (S,) i32: emissive
     map_n: np.ndarray           # (S,) i32: normal
     map_mr: np.ndarray          # (S,) i32: metallicRoughness
+    # Combined-material indirection: map_c[s] indexes mat_layers, whose row
+    # is that material's (diffuse, emissive, normal, mr) atlas layers.  The
+    # integrator packs the four maps' texels into one row table at trace
+    # time so a shading point costs 2 row gathers instead of 16
+    # (core/integrator._packed_tables; TPU gathers cost per-index).
+    map_c: np.ndarray           # (S,) i32 combined-material id
+    mat_layers: np.ndarray      # (U, 4) i32 source atlas layers per id
     emit: V3                    # per-slot constant emittance
     ior: np.ndarray             # (S,)
     dielectric: np.ndarray      # (S,)
@@ -383,6 +390,10 @@ def load_scene_dict(scene: dict, loader: AssetLoader, leaf_size: int = 8,
     slot_group = group_of_tri[gather]
     mat_maps = mats_per_group[slot_group]
     mat_maps[pad] = 0
+    # combined-material ids: unique (d, e, n, mr) layer tuples over slots
+    mat_layers, map_c = np.unique(mat_maps, axis=0, return_inverse=True)
+    mat_layers = mat_layers.astype(np.int32)
+    map_c = map_c.astype(np.int32)
     mat_emit = emit_per_group[slot_group]
     mat_emit[pad] = 0.0
     mat_ior = ior_per_group[slot_group]
@@ -447,6 +458,7 @@ def load_scene_dict(scene: dict, loader: AssetLoader, leaf_size: int = 8,
         uv2u=uv_s[:, 2, 0].copy(), uv2v=uv_s[:, 2, 1].copy(),
         map_d=mat_maps[:, 0].copy(), map_e=mat_maps[:, 1].copy(),
         map_n=mat_maps[:, 2].copy(), map_mr=mat_maps[:, 3].copy(),
+        map_c=map_c, mat_layers=mat_layers,
         emit=_v3(mat_emit), ior=mat_ior, dielectric=mat_diel,
         atlas_r=atlas_flat[:, 0].copy(), atlas_g=atlas_flat[:, 1].copy(),
         atlas_b=atlas_flat[:, 2].copy(),

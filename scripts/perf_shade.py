@@ -117,7 +117,9 @@ def main():
         t=jnp.full((n,), 2.0), slot=slot, bu=uvu * 0.3, bv=uvv * 0.3,
         throughput=V3(uvu, uvu, uvu), color=V3(uvv, uvv, uvv),
         bounces_used=jnp.zeros(n, jnp.int32),
-        active=jnp.ones(n, bool), prev_pdf=jnp.full(n, 1e16))
+        active=jnp.ones(n, bool), prev_pdf=jnp.full(n, 1e16),
+        lidx=jnp.arange(n, dtype=jnp.int32),
+        gid=jnp.arange(n, dtype=jnp.int32))
     cfg_brute_off = RenderConfig(width=512, height=512, bounces=8,
                                  extra_refraction_iters=0, sort_rays=False)
 
@@ -131,10 +133,13 @@ def main():
                          jnp.int32), u=jnp.zeros(nn), v=jnp.zeros(nn),
                          visits=jnp.zeros(nn, jnp.int32))
     I.sorted_intersect = fake_intersect
+    attr_t = I._attr_table(arrays)
+    tex_t = I._packed_tables(arrays, cfg_brute_off, meta)
     try:
         timed("full shade iter (no traversal)", lambda s:
               _shade_and_scatter(arrays, cfg_brute_off, meta, s, u,
-                                 (meta.env_h, meta.env_w)), state)
+                                 (meta.env_h, meta.env_w), attr_t, tex_t),
+              state)
     finally:
         I.sorted_intersect = orig
 

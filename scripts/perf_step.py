@@ -71,12 +71,17 @@ def main():
         bu=hit.u, bv=hit.v, throughput=vec.splat(1.0, like=origin.x),
         color=vec.splat(0.0, like=origin.x),
         bounces_used=jnp.zeros(n, jnp.int32), active=hit.slot >= 0,
-        prev_pdf=jnp.full(n, 1.0e16, jnp.float32))
+        prev_pdf=jnp.full(n, 1.0e16, jnp.float32),
+        lidx=jnp.arange(n, dtype=jnp.int32),
+        gid=jnp.arange(n, dtype=jnp.int32))
     u = stream_uniforms(key, 1, (11, n))
+    attr = integrator._attr_table(arrays)
+    tex = integrator._packed_tables(arrays, cfg, meta)
 
     shade = jax.jit(lambda s: _shade_and_scatter(scene=arrays, cfg=cfg,
                                                  meta=meta, s=s, u=u,
-                                                 env_hw=env_hw))
+                                                 env_hw=env_hw,
+                                                 attr=attr, tex=tex))
     dt_full, state2 = timeit(shade, state)
     print(f"shade+2N traversal: {dt_full*1e3:8.2f} ms "
           f"(occupancy {float(jnp.mean(state.active)):.2f})")
@@ -92,7 +97,8 @@ def main():
                 u=z, v=z, visits=jnp.zeros(z.shape, jnp.int32))
         integrator.sorted_intersect = fake_sorted
         shade_nt = jax.jit(lambda s: _shade_and_scatter(
-            scene=arrays, cfg=cfg, meta=meta, s=s, u=u, env_hw=env_hw))
+            scene=arrays, cfg=cfg, meta=meta, s=s, u=u, env_hw=env_hw,
+            attr=attr, tex=tex))
         dt_nt, _ = timeit(shade_nt, state)
         print(f"shade (no trav)   : {dt_nt*1e3:8.2f} ms "
               f"-> traversal share {dt_full-dt_nt:.4f} s")
