@@ -94,6 +94,14 @@ class RenderConfig:
     # falls back to per-map fetches when the combined table would exceed
     # the in-module memory guard.
     packed_textures: bool = True
+    # Trace occlusion rays (env + light NEE shadows) in their own any-hit
+    # launch instead of batching them into the nearest-hit scatter launch.
+    # Measured on v5e (bunny bench): does NOT pay — 4.25 vs 4.30 Mrays/s
+    # and 2x the compile time (an extra any-hit kernel specialization per
+    # compaction width); the coherence sort already condenses parked lanes
+    # so the batched launch wastes little.  Kept as an off-by-default knob
+    # for scenes with much higher shadow-ray ratios (light NEE heavy).
+    split_shadow: bool = False
     # Area-light next-event estimation with MIS.  The reference shipped this
     # broken and disabled (dead lightTex/numLights uniforms, tracer.fs:18,27;
     # README.md:33 "Light sampling is currently broken"); here it works.

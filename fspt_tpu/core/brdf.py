@@ -41,9 +41,17 @@ def gtr2(ndh, a):
 
 
 def smith_g(ndv, alpha_g):
+    """Smith geometric shadowing (tracer.fs:221-224) with one deliberate
+    deviation: the reference returns 1/(ndv + sqrt(...)), which for a
+    backfacing direction (ndv <= 0, reachable through GGX-tail micro
+    normals) divides by ~0 — the +inf then rides into
+    `evalSpecular(...) * clamp(ndl, 0, 1)` (tracer.fs:479) as inf * 0 = NaN
+    and poisons the pixel's accumulator forever.  A fully shadowed
+    direction transmits nothing, so return 0 there instead."""
     a = alpha_g * alpha_g
     b = ndv * ndv
-    return 1.0 / (ndv + jnp.sqrt(jnp.maximum(a + b - a * b, 0.0)))
+    denom = ndv + jnp.sqrt(jnp.maximum(a + b - a * b, 0.0))
+    return jnp.where(denom > 1e-7, 1.0 / jnp.maximum(denom, 1e-7), 0.0)
 
 
 def gtr2_pdf(incident: V3, normal: V3, roughness, bsdf_dir: V3):

@@ -64,10 +64,17 @@ def intersect(scene, cfg: RenderConfig, meta, origin: V3, direction: V3,
     detached and shading re-derives differentiable quantities."""
     if cfg.intersector == "brute":
         return _intersect_brute(scene, cfg, origin, direction)
+    width = getattr(meta, "bvh_width", 8)
     if cfg.intersector == "walk":
         from fspt_tpu.ops.traverse3 import packet_traverse3
-        impl = packet_traverse3
+        import functools as _ft
+        impl = _ft.partial(packet_traverse3, tree_width=width)
     else:
+        if width != 8:
+            raise ValueError(
+                "the v1 'packet' intersector reads the 8-wide BVH layout; "
+                f"this scene was packed {width}-wide — rebuild the scene "
+                "with bvh_width=8 or use intersector='walk'")
         impl = packet_traverse
     return impl(scene.pk_nodes, scene.pk_leaves,
                 sg(origin), sg(direction),
@@ -642,12 +649,14 @@ def _shade_and_scatter(scene, cfg: RenderConfig, meta, s: PathState, u,
 
     w_env, w_bsdf = brdf.mis_weights(env_pdf, sg(bsdf_pdf))
 
-    # ---- batched traversal: scatter + env-shadow (+ light-shadow) ------
-    # One packet-kernel launch per bounce instead of 2-3: the ray sets are
-    # concatenated so the coherence sort bins scatter and shadow rays
-    # together and the per-launch fixed cost (ray packing, dispatch) is
-    # paid once.  Shadow occlusion falls out of the nearest-hit result
-    # (occluded iff any hit within tmax).
+    # ---- traversal: one nearest-hit launch for scatter rays, one
+    # any-hit launch for the occlusion set (env shadow + light shadow).
+    # Occlusion rays only need a boolean, so their walks retire as soon as
+    # every lane has found *any* hit (ops/traverse3 any_hit) — and keeping
+    # them out of the scatter launch keeps both sorts' packets coherent
+    # (shadow directions cluster around the sampled env bins / lights,
+    # scatter directions around the surface hemispheres).  cfg.split_shadow
+    # falls back to a single batched nearest-hit launch.
     park = vec.splat(1.0e9, like=u[0])
     up = V3(jnp.zeros_like(u[0]), jnp.ones_like(u[0]), jnp.zeros_like(u[0]))
     scat_o = where(active, new_origin, park)
@@ -688,19 +697,38 @@ def _shade_and_scatter(scene, cfg: RenderConfig, meta, s: PathState, u,
         seg_a.append(light_wanted)
 
     cat = jnp.concatenate
-    hits = sorted_intersect(
-        scene, cfg, meta,
-        V3(cat([o.x for o in seg_o]), cat([o.y for o in seg_o]),
-           cat([o.z for o in seg_o])),
-        V3(cat([d.x for d in seg_d]), cat([d.y for d in seg_d]),
-           cat([d.z for d in seg_d])),
-        cat(seg_a), tmax=cat(seg_t))
     n = active.shape[0]
+    if cfg.split_shadow:
+        nxt = sorted_intersect(scene, cfg, meta, seg_o[0], seg_d[0],
+                               seg_a[0], tmax=seg_t[0])
+        occ = sorted_intersect(
+            scene, cfg, meta,
+            V3(cat([o.x for o in seg_o[1:]]), cat([o.y for o in seg_o[1:]]),
+               cat([o.z for o in seg_o[1:]])),
+            V3(cat([d.x for d in seg_d[1:]]), cat([d.y for d in seg_d[1:]]),
+               cat([d.z for d in seg_d[1:]])),
+            cat(seg_a[1:]), tmax=cat(seg_t[1:]), any_hit=True)
 
-    def seg(i):
-        return jax.tree.map(lambda a: a[i * n:(i + 1) * n], hits)
+        def seg(i):
+            if i == 0:
+                return nxt
+            return jax.tree.map(lambda a: a[(i - 1) * n:i * n], occ)
 
-    nxt = seg(0)
+        hits_visits = nxt.visits
+    else:
+        hits = sorted_intersect(
+            scene, cfg, meta,
+            V3(cat([o.x for o in seg_o]), cat([o.y for o in seg_o]),
+               cat([o.z for o in seg_o])),
+            V3(cat([d.x for d in seg_d]), cat([d.y for d in seg_d]),
+               cat([d.z for d in seg_d])),
+            cat(seg_a), tmax=cat(seg_t))
+
+        def seg(i):
+            return jax.tree.map(lambda a: a[i * n:(i + 1) * n], hits)
+
+        nxt = seg(0)
+        hits_visits = hits.visits[:n]
     shadow_open = seg(1).slot < 0
 
     # ---- NEE env contribution (tracer.fs:499-505) ----------------------
@@ -738,7 +766,7 @@ def _shade_and_scatter(scene, cfg: RenderConfig, meta, s: PathState, u,
     if cfg.use_light_nee:
         n_shadow = n_shadow + jnp.sum(light_wanted.astype(jnp.float32))
     per_it = (jnp.sum(active.astype(jnp.float32)), n_shadow,
-              jnp.sum(hits.visits[:n].astype(jnp.float32)))
+              jnp.sum(hits_visits.astype(jnp.float32)))
 
     return PathState(
         origin=where(active, new_origin, s.origin),

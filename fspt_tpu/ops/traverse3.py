@@ -65,8 +65,10 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
                  t_ref, slot_ref, u_ref, v_ref, visits_ref,
                  panel, stack, walk_state,
                  *, leaf_size: int, any_hit: bool, stack_depth: int,
-                 table_rows: int, unroll: int, stage: str):
+                 table_rows: int, unroll: int, stage: str,
+                 walks: int = WALKS, tree_width: int = 8):
     W = n_nodes_ref[0]
+    tw = tree_width
     ox = rays_ref[0, 0]
     oy = rays_ref[0, 1]
     oz = rays_ref[0, 2]
@@ -87,10 +89,10 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
     sy = (jnp.sum(dy, axis=1, keepdims=True) >= 0.0).astype(jnp.int32)
     sz = (jnp.sum(dz, axis=1, keepdims=True) >= 0.0).astype(jnp.int32)
 
-    stack_iota = jax.lax.broadcasted_iota(jnp.int32, (WALKS, stack_depth), 1)
+    stack_iota = jax.lax.broadcasted_iota(jnp.int32, (walks, stack_depth), 1)
 
     def lanes(a):
-        return jnp.broadcast_to(a, (WALKS, LANES))
+        return jnp.broadcast_to(a, (walks, LANES))
 
     def substep(st):
         cur, ptr, bt, bs, bu, bv, vis = st       # registers, no VMEM state
@@ -100,25 +102,38 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
         leaf_ord = -cur - 1
         sel = is_node * cur + is_leaf * (W + leaf_ord)
         sel = jnp.maximum(sel, 0)
-        # 8 dynamic row reads into the panel scratch — the only scalar work
-        for s in range(WALKS):
-            panel[s:s + 1, :] = table_ref[pl.ds(sel[s, 0], 1), :]
-        if stage == "value":
+        # per-walk dynamic row reads into the panel scratch — the only
+        # scalar work.  All vector->scalar index extracts are issued before
+        # any copy so the 8 independent fetch chains can pipeline instead
+        # of serializing extract->copy->extract->copy.
+        idxs = [sel[s, 0] for s in range(walks)]
+        if stage == "direct":
+            # no panel round-trip: concatenate the fetched rows in registers
+            row = jnp.concatenate(
+                [table_ref[pl.ds(idxs[s], 1), :] for s in range(walks)],
+                axis=0)
+            rd = lambda a, b: row[:, a:b]
+        elif stage == "value":
+            for s in range(walks):
+                panel[s:s + 1, :] = table_ref[pl.ds(idxs[s], 1), :]
             row = panel[:, :]
             rd = lambda a, b: row[:, a:b]
         else:
             # slice straight from the scratch ref: ~70 tiny (8, 1) VMEM
             # loads instead of lane-rotations of a materialized register
+            for s in range(walks):
+                panel[s:s + 1, :] = table_ref[pl.ds(idxs[s], 1), :]
             rd = lambda a, b: panel[:, a:b]
 
-        # ---- node branch: slab-test 8 children of each walk's node -----
+        # ---- node branch: slab-test the tw children of each walk's node
+        # (lane offsets scale with the packed width — ops/packing.py)
         def child_box(c):
             t1x = (rd(c, c + 1) - ox) * ix
-            t2x = (rd(24 + c, 25 + c) - ox) * ix
-            t1y = (rd(8 + c, 9 + c) - oy) * iy
-            t2y = (rd(32 + c, 33 + c) - oy) * iy
-            t1z = (rd(16 + c, 17 + c) - oz) * iz
-            t2z = (rd(40 + c, 41 + c) - oz) * iz
+            t2x = (rd(3 * tw + c, 3 * tw + c + 1) - ox) * ix
+            t1y = (rd(tw + c, tw + c + 1) - oy) * iy
+            t2y = (rd(4 * tw + c, 4 * tw + c + 1) - oy) * iy
+            t1z = (rd(2 * tw + c, 2 * tw + c + 1) - oz) * iz
+            t2z = (rd(5 * tw + c, 5 * tw + c + 1) - oz) * iz
             tmin = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
                                            jnp.minimum(t1y, t2y)),
                                jnp.minimum(t1z, t2z))
@@ -127,35 +142,35 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
                                jnp.maximum(t1z, t2z))
             return (tmax >= tmin) & (tmax > 0.0) & (tmin < bt)
 
-        links = [rd(48 + c, 49 + c) for c in range(8)]        # (8, 1) f32
+        links = [rd(6 * tw + c, 6 * tw + c + 1) for c in range(tw)]
         wants = []
-        for c in range(8):
+        for c in range(tw):
             any_c = (jnp.sum(child_box(c).astype(jnp.float32), axis=1,
                              keepdims=True) > 0.0).astype(jnp.int32)
             valid_c = (links[c] > -1.0e8).astype(jnp.int32)
             wants.append(any_c * valid_c * is_node)
 
-        axis = rd(56, 57)
+        axis = rd(7 * tw, 7 * tw + 1)
         fwd = jnp.where(axis == 0.0, sx, jnp.where(axis == 1.0, sy, sz))
 
         p = ptr
         top = cur
         pushed = jnp.zeros_like(p)
-        for j in range(8):
-            link_j = jnp.where(fwd > 0, links[7 - j],
+        for j in range(tw):
+            link_j = jnp.where(fwd > 0, links[tw - 1 - j],
                                links[j]).astype(jnp.int32)
-            want_j = jnp.where(fwd > 0, wants[7 - j], wants[j])
+            want_j = jnp.where(fwd > 0, wants[tw - 1 - j], wants[j])
             write = (stack_iota == p) & (jnp.broadcast_to(
-                want_j, (WALKS, stack_depth)) > 0)
+                want_j, (walks, stack_depth)) > 0)
             stack[:, :] = jnp.where(write, jnp.broadcast_to(
-                link_j, (WALKS, stack_depth)), stack[:, :])
+                link_j, (walks, stack_depth)), stack[:, :])
             top = jnp.where(want_j > 0, link_j, top)
             pushed = jnp.maximum(pushed, want_j)
             p = p + want_j
 
         # ---- leaf branch: Moller-Trumbore the walk's leaf_size tris ----
         slot_base = leaf_ord * leaf_size
-        leaf_mask = jnp.broadcast_to(is_leaf, (WALKS, LANES)) > 0
+        leaf_mask = jnp.broadcast_to(is_leaf, (walks, LANES)) > 0
         for j in range(leaf_size):
             b = 9 * j
             c = [rd(b + i, b + i + 1) for i in range(9)]
@@ -203,18 +218,18 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
     # far above that so a lowering bug terminates (with wrong pixels and a
     # saturated visit count) instead of wedging the chip — a killed TPU
     # client holds the device claim for ~25 min (.claude/skills/verify).
-    max_steps = 8 * (table_rows + 64)
+    max_steps = 8 * (table_rows + 64)  # bound scales with table, not width
 
     def body(go):
-        st = (walk_state[0:WALKS, 0:1].astype(jnp.int32),
-              walk_state[WALKS:2 * WALKS, 0:1].astype(jnp.int32),
+        st = (walk_state[0:walks, 0:1].astype(jnp.int32),
+              walk_state[walks:2 * walks, 0:1].astype(jnp.int32),
               t_ref[0], slot_ref[0], u_ref[0], v_ref[0],
               visits_ref[0][:, 0:1])
         for _ in range(unroll):
             st = substep(st)
         cur, ptr, bt, bs, bu, bv, vis = st
-        walk_state[0:WALKS, :] = lanes(cur)
-        walk_state[WALKS:2 * WALKS, :] = lanes(ptr)
+        walk_state[0:walks, :] = lanes(cur)
+        walk_state[walks:2 * walks, :] = lanes(ptr)
         visits_ref[0] = lanes(vis)
         t_ref[0] = bt
         slot_ref[0] = bs
@@ -225,26 +240,28 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
                      * (vis < max_steps).astype(jnp.int32))
         return jnp.sum(keep)
 
-    ione = lambda v: jnp.full((WALKS, LANES), v, jnp.int32)
-    walk_state[0:WALKS, :] = ione(0)           # cur = root
-    walk_state[WALKS:2 * WALKS, :] = ione(1)   # ptr = 1
+    ione = lambda v: jnp.full((walks, LANES), v, jnp.int32)
+    walk_state[0:walks, :] = ione(0)           # cur = root
+    walk_state[walks:2 * walks, :] = ione(1)   # ptr = 1
     visits_ref[0] = ione(0)
     t_ref[0] = t_init
-    slot_ref[0] = jnp.full((WALKS, LANES), -1, jnp.int32)
-    u_ref[0] = jnp.zeros((WALKS, LANES), jnp.float32)
-    v_ref[0] = jnp.zeros((WALKS, LANES), jnp.float32)
-    stack[:, 0:1] = jnp.full((WALKS, 1), SENTINEL, jnp.int32)
+    slot_ref[0] = jnp.full((walks, LANES), -1, jnp.int32)
+    u_ref[0] = jnp.zeros((walks, LANES), jnp.float32)
+    v_ref[0] = jnp.zeros((walks, LANES), jnp.float32)
+    stack[:, 0:1] = jnp.full((walks, 1), SENTINEL, jnp.int32)
     jax.lax.while_loop(lambda go: go > 0, body, jnp.int32(1))
 
 
 @functools.partial(jax.jit, static_argnames=("leaf_size", "any_hit",
                                              "stack_depth", "interpret",
-                                             "unroll", "stage"))
+                                             "unroll", "stage", "walks",
+                                             "tree_width"))
 def packet_traverse3(nodes, leaves, origin: V3, direction: V3, tmax=None, *,
                      leaf_size: int = 8, any_hit: bool = False,
                      stack_depth: int = 64,
                      interpret: bool = False,
-                     unroll: int = 4, stage: str = "value") -> PacketHit:
+                     unroll: int = 4, stage: str = "value",
+                     walks: int = WALKS, tree_width: int = 8) -> PacketHit:
     """v3 multiwalk traversal: same contract as ops/traverse.packet_traverse
     (visits are per-128-ray walk rather than per-1024-ray packet).
 
@@ -259,7 +276,7 @@ def packet_traverse3(nodes, leaves, origin: V3, direction: V3, tmax=None, *,
     """
     check_vmem_budget(nodes, leaves)
     n = origin.x.shape[0]
-    group = WALKS * LANES
+    group = walks * LANES
     n_pad = (-n) % group
     if tmax is None:
         tmax = jnp.full((n,), MAX_T, jnp.float32)
@@ -273,7 +290,7 @@ def packet_traverse3(nodes, leaves, origin: V3, direction: V3, tmax=None, *,
     npg = (n + n_pad) // group
 
     def field(a, value):
-        return pad(a, value).reshape(npg, 1, WALKS, LANES)
+        return pad(a, value).reshape(npg, 1, walks, LANES)
 
     rays = jnp.concatenate([
         field(origin.x, 1.0e9), field(origin.y, 1.0e9), field(origin.z, 1.0e9),
@@ -287,11 +304,12 @@ def packet_traverse3(nodes, leaves, origin: V3, direction: V3, tmax=None, *,
     kernel = functools.partial(_walk_kernel, leaf_size=leaf_size,
                                any_hit=any_hit, stack_depth=stack_depth,
                                table_rows=int(table.shape[0]),
-                               unroll=unroll, stage=stage)
-    out_block = pl.BlockSpec((1, WALKS, LANES), lambda i: (i, 0, 0),
+                               unroll=unroll, stage=stage, walks=walks,
+                               tree_width=tree_width)
+    out_block = pl.BlockSpec((1, walks, LANES), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((npg, WALKS, LANES), jnp.float32)
-    out_shape_i = jax.ShapeDtypeStruct((npg, WALKS, LANES), jnp.int32)
+    out_shape = jax.ShapeDtypeStruct((npg, walks, LANES), jnp.float32)
+    out_shape_i = jax.ShapeDtypeStruct((npg, walks, LANES), jnp.int32)
     t, slot, u, v, visits = pl.pallas_call(
         kernel,
         grid=(npg,),
@@ -299,14 +317,14 @@ def packet_traverse3(nodes, leaves, origin: V3, direction: V3, tmax=None, *,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(table.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 7, WALKS, LANES), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, 7, walks, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_block] * 5,
         out_shape=[out_shape, out_shape_i, out_shape, out_shape, out_shape_i],
-        scratch_shapes=[pltpu.VMEM((WALKS, LANES), jnp.float32),
-                        pltpu.VMEM((WALKS, stack_depth), jnp.int32),
-                        pltpu.VMEM((2 * WALKS, LANES), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((walks, LANES), jnp.float32),
+                        pltpu.VMEM((walks, stack_depth), jnp.int32),
+                        pltpu.VMEM((2 * walks, LANES), jnp.int32)],
         interpret=interpret,
     )(n_nodes, table, rays)
 

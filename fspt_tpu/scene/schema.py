@@ -131,9 +131,15 @@ class SceneMeta:
     atlas_res: int
     atlas_layers: int
     leaf_size: int
-    # traversal stack bound for the packet kernel, sized from the 8-wide
-    # tree depth at pack time (ops/packing.py): max ptr <= 8 * (depth + 2)
+    # traversal stack bound for the packet kernel, sized from the wide
+    # tree depth at pack time (ops/packing.py): max ptr <= w * (depth + 2)
     pk_stack_depth: int = 64
+    # wide-BVH branching factor of the packed tables (8 or 16).  Measured
+    # on v5e (bunny bench): 16-wide does NOT pay — the greedy collapse
+    # under-fills 16-ary nodes on leaf-heavy trees (walk-visits only -7%)
+    # while per-visit cost scales with width (275 -> 556 ns/visit), so 8
+    # stays the default; the knob remains for denser interior topologies.
+    bvh_width: int = 8
 
 
 @dataclasses.dataclass
@@ -270,12 +276,14 @@ def _resolve_material(prop: dict, group: MeshGroup, packer: TexturePacker,
 
 
 def load_scene_file(path: str, leaf_size: int = 8,
-                    env_bins_cap: int = 256, builder: str = "auto") -> Scene:
+                    env_bins_cap: int = 256, builder: str = "auto",
+                    bvh_width: int = 8) -> Scene:
     root = os.path.dirname(os.path.abspath(path))
     with open(path) as f:
         scene = json.load(f)
     return load_scene_dict(scene, AssetLoader(root), leaf_size=leaf_size,
                            env_bins_cap=env_bins_cap, builder=builder,
+                           bvh_width=bvh_width,
                            name=os.path.splitext(os.path.basename(path))[0])
 
 
@@ -286,7 +294,7 @@ _FAST_BUILD_THRESHOLD = 4096
 
 def load_scene_dict(scene: dict, loader: AssetLoader, leaf_size: int = 8,
                     env_bins_cap: int = 256, name: str = "scene",
-                    builder: str = "auto") -> Scene:
+                    builder: str = "auto", bvh_width: int = 8) -> Scene:
     # ---- environment ----------------------------------------------------
     env_spec = scene.get("environment")
     if isinstance(env_spec, str):
@@ -370,7 +378,8 @@ def load_scene_dict(scene: dict, loader: AssetLoader, leaf_size: int = 8,
     tri_e2 = v[:, 2] - v[:, 0]
 
     pk = pack_bvh(bvh.left, bvh.right, bvh.tri_offset, bvh.node_min,
-                  bvh.node_max, tri_v0, tri_e1, tri_e2, leaf_size=leaf_size)
+                  bvh.node_max, tri_v0, tri_e1, tri_e2, leaf_size=leaf_size,
+                  width=bvh_width)
 
     def corner(a, c):
         """(T, 3corners, 3) attr -> padded (S, 3) for corner c."""
@@ -479,7 +488,8 @@ def load_scene_dict(scene: dict, loader: AssetLoader, leaf_size: int = 8,
     meta = SceneMeta(env_h=env.shape[0], env_w=env.shape[1],
                      atlas_res=atlas.shape[1], atlas_layers=atlas.shape[0],
                      leaf_size=leaf_size,
-                     pk_stack_depth=8 * (pk.depth + 2))
+                     pk_stack_depth=bvh_width * (pk.depth + 2),
+                     bvh_width=bvh_width)
 
     camera = CameraConfig(
         position=tuple(scene.get("cameraPos", [0.0, 0.0, 2.0])),

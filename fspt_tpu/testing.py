@@ -151,7 +151,8 @@ def make_test_scene(subdivisions: int = 2, textured: bool = False,
                     roughness: float = 0.3, ior: float = 1.4,
                     dielectric: float = -1.0, leaf_size: int = 8,
                     env_bins_cap: int = 256,
-                    emissive_sphere: bool = False) -> Scene:
+                    emissive_sphere: bool = False,
+                    bvh_width: int = 8) -> Scene:
     """Icosphere over a floor quad; scene-JSON-schema driven."""
     loader = DictAssetLoader(
         texts={"sphere.obj": icosphere_obj(subdivisions),
@@ -191,12 +192,17 @@ def make_test_scene(subdivisions: int = 2, textured: bool = False,
         "atlasRes": 64,
         "props": [sphere_prop, floor_prop],
     }
+    # width 8 so tests can drive BOTH kernels (the v1 packet kernel reads
+    # the 8-wide layout only); width-16 paths get dedicated parametrized
+    # tests and the bench/production loaders default to 16.
     return load_scene_dict(scene, loader, leaf_size=leaf_size,
-                           env_bins_cap=env_bins_cap, name="procedural")
+                           env_bins_cap=env_bins_cap, name="procedural",
+                           bvh_width=bvh_width)
 
 
 def make_bunny_standin_scene(subdivisions: int = 6, leaf_size: int = 8,
-                             env_bins_cap: int = 256) -> Scene:
+                             env_bins_cap: int = 256,
+                             bvh_width: int = 8) -> Scene:
     """Benchmark-scale stand-in for scene/bunny.json (~80k+ triangles,
     HDRi env with importance bins, mixed materials)."""
     loader = DictAssetLoader(
@@ -222,4 +228,5 @@ def make_bunny_standin_scene(subdivisions: int = 6, leaf_size: int = 8,
         ],
     }
     return load_scene_dict(scene, loader, leaf_size=leaf_size,
-                           env_bins_cap=env_bins_cap, name="bunny_standin")
+                           env_bins_cap=env_bins_cap, name="bunny_standin",
+                           bvh_width=bvh_width)

@@ -91,9 +91,13 @@ def gtr2(ndh, a):
 
 
 def smith_g(ndv, alpha_g):
+    # Matches fspt_tpu.core.brdf.smith_g's documented deviation from
+    # tracer.fs:221-224: 0 (not +inf) for backfacing directions, so
+    # inf * 0 NaNs cannot poison the estimator.
     a = alpha_g * alpha_g
     b = ndv * ndv
-    return 1.0 / (ndv + np.sqrt(np.maximum(a + b - a * b, 0.0)))
+    denom = ndv + np.sqrt(np.maximum(a + b - a * b, 0.0))
+    return np.where(denom > 1e-7, 1.0 / np.maximum(denom, 1e-7), 0.0)
 
 
 def gtr2_pdf(incident, normal, roughness, bsdf_dir):
