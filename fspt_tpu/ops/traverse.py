@@ -69,15 +69,21 @@ INTERLEAVE = 1         # concurrent walks per program.  Measured on v5e:
 VMEM_TABLE_BUDGET_BYTES = 12 * 1024 * 1024
 
 
-def check_vmem_budget(nodes, leaves):
+def tables_fit_vmem(nodes, leaves) -> bool:
     table_bytes = (nodes.shape[0] + leaves.shape[0]) * 128 * 4
-    if table_bytes > VMEM_TABLE_BUDGET_BYTES:
+    return table_bytes <= VMEM_TABLE_BUDGET_BYTES
+
+
+def check_vmem_budget(nodes, leaves):
+    if not tables_fit_vmem(nodes, leaves):
+        table_bytes = (nodes.shape[0] + leaves.shape[0]) * 128 * 4
         raise ValueError(
             f"BVH tables need {table_bytes / 2 ** 20:.0f} MiB of VMEM "
             f"(budget {VMEM_TABLE_BUDGET_BYTES / 2 ** 20:.0f} MiB) — the "
             "scene is too large for the VMEM-resident traversal kernel; "
-            "raise leaf_size at scene load (fewer/denser leaf rows), lower "
-            "geometry LOD, or split the scene into separately traced props")
+            "use the walk intersector (ops/traverse3, which streams "
+            "oversized tables from HBM via table_hbm), raise leaf_size at "
+            "scene load, or split the scene into separately traced props")
 
 
 def _packet_state(rays_ref, k, *, leaf_size, any_hit, rows):

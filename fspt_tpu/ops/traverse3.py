@@ -63,10 +63,24 @@ LANES = 128
 
 def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
                  t_ref, slot_ref, u_ref, v_ref, visits_ref,
-                 panel, stack, walk_state,
-                 *, leaf_size: int, any_hit: bool, stack_depth: int,
+                 panel, stack, walk_state, *extra,
+                 leaf_size: int, any_hit: bool, stack_depth: int,
                  table_rows: int, unroll: int, stage: str,
                  walks: int = WALKS, tree_width: int = 8):
+    dma_sems = table_vmem = hbm_sem = None
+    if stage == "dma":
+        (dma_sems,) = extra
+    elif stage in ("hbm", "condh"):
+        table_vmem, hbm_sem = extra
+        # the table input lives in HBM; copy it ONCE into a VMEM scratch
+        # that persists across sequential grid programs — testing whether
+        # the whole-table VMEM BlockSpec pays a per-program re-copy
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            cp = pltpu.make_async_copy(table_ref, table_vmem, hbm_sem)
+            cp.start()
+            cp.wait()
+        table_ref = table_vmem
     W = n_nodes_ref[0]
     tw = tree_width
     ox = rays_ref[0, 0]
@@ -93,6 +107,174 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
 
     def lanes(a):
         return jnp.broadcast_to(a, (walks, LANES))
+
+    def sel_of(cur):
+        """Row index each walk's current node/leaf lives at (parked -> 0)."""
+        parked = (cur == SENTINEL).astype(jnp.int32)
+        is_leaf = ((cur < 0).astype(jnp.int32)) * (1 - parked)
+        is_node = (cur >= 0).astype(jnp.int32)
+        return jnp.maximum(is_node * cur + is_leaf * (W + (-cur - 1)), 0)
+
+    def node_advance(cur, ptr, bt, rd, parked, is_node, cond_skip=False):
+        """Slab-test the tw children, vote, push wanted links, pop: the
+        walk's next (cur, ptr).  For leaf visits (is_node == 0) no child is
+        wanted, so this reduces to the stack pop — the advance is uniform.
+        cond_skip: branch around the child slab tests entirely when no walk
+        in the program is at a node this visit (lax.cond on the scalar
+        unit; the push/pop bookkeeping is cheap and always runs)."""
+        def child_box(c):
+            t1x = (rd(c, c + 1) - ox) * ix
+            t2x = (rd(3 * tw + c, 3 * tw + c + 1) - ox) * ix
+            t1y = (rd(tw + c, tw + c + 1) - oy) * iy
+            t2y = (rd(4 * tw + c, 4 * tw + c + 1) - oy) * iy
+            t1z = (rd(2 * tw + c, 2 * tw + c + 1) - oz) * iz
+            t2z = (rd(5 * tw + c, 5 * tw + c + 1) - oz) * iz
+            tmin = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                           jnp.minimum(t1y, t2y)),
+                               jnp.minimum(t1z, t2z))
+            tmax = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                           jnp.maximum(t1y, t2y)),
+                               jnp.maximum(t1z, t2z))
+            return (tmax >= tmin) & (tmax > 0.0) & (tmin < bt)
+
+        links = [rd(6 * tw + c, 6 * tw + c + 1) for c in range(tw)]
+
+        def compute_wants():
+            out = []
+            for c in range(tw):
+                any_c = (jnp.sum(child_box(c).astype(jnp.float32), axis=1,
+                                 keepdims=True) > 0.0).astype(jnp.int32)
+                valid_c = (links[c] > -1.0e8).astype(jnp.int32)
+                out.append(any_c * valid_c * is_node)
+            return tuple(out)
+
+        if cond_skip:
+            wants = jax.lax.cond(
+                jnp.sum(is_node) > 0, compute_wants,
+                lambda: tuple(jnp.zeros((walks, 1), jnp.int32)
+                              for _ in range(tw)))
+        else:
+            wants = compute_wants()
+
+        axis = rd(7 * tw, 7 * tw + 1)
+        fwd = jnp.where(axis == 0.0, sx, jnp.where(axis == 1.0, sy, sz))
+
+        p = ptr
+        top = cur
+        pushed = jnp.zeros_like(p)
+        for j in range(tw):
+            link_j = jnp.where(fwd > 0, links[tw - 1 - j],
+                               links[j]).astype(jnp.int32)
+            want_j = jnp.where(fwd > 0, wants[tw - 1 - j], wants[j])
+            write = (stack_iota == p) & (jnp.broadcast_to(
+                want_j, (walks, stack_depth)) > 0)
+            stack[:, :] = jnp.where(write, jnp.broadcast_to(
+                link_j, (walks, stack_depth)), stack[:, :])
+            top = jnp.where(want_j > 0, link_j, top)
+            pushed = jnp.maximum(pushed, want_j)
+            p = p + want_j
+
+        nptr = p - 1
+        pop_at = jnp.clip(nptr, 0, stack_depth - 1)
+        popped = jnp.sum(jnp.where(stack_iota == pop_at, stack[:, :], 0),
+                         axis=1, keepdims=True)
+        ncur = jnp.where(pushed > 0, top, popped)
+        ncur = jnp.where(parked > 0, SENTINEL, ncur)
+        nptr = jnp.where((parked > 0) | (ncur == SENTINEL), 0, nptr)
+        return ncur, nptr
+
+    def leaf_tests(cur, rd, is_leaf, bt, bs, bu, bv):
+        """Moller-Trumbore the walk's leaf_size tris against its 128 rays."""
+        leaf_ord = -cur - 1
+        slot_base = leaf_ord * leaf_size
+        leaf_mask = jnp.broadcast_to(is_leaf, (walks, LANES)) > 0
+        for j in range(leaf_size):
+            b = 9 * j
+            c = [rd(b + i, b + i + 1) for i in range(9)]
+            px = dy * c[8] - dz * c[7]
+            py = dz * c[6] - dx * c[8]
+            pz = dx * c[7] - dy * c[6]
+            det = c[3] * px + c[4] * py + c[5] * pz
+            inv = 1.0 / jnp.where(jnp.abs(det) < 1e-6, 1.0, det)
+            tx = ox - c[0]
+            ty = oy - c[1]
+            tz = oz - c[2]
+            uu = (tx * px + ty * py + tz * pz) * inv
+            qx = ty * c[5] - tz * c[4]
+            qy = tz * c[3] - tx * c[5]
+            qz = tx * c[4] - ty * c[3]
+            ww = (dx * qx + dy * qy + dz * qz) * inv
+            tt = (c[6] * qx + c[7] * qy + c[8] * qz) * inv
+            ok = (leaf_mask
+                  & (jnp.abs(det) >= 1e-6)
+                  & (uu >= 0.0) & (uu <= 1.0) & (ww >= 0.0)
+                  & (uu + ww <= 1.0) & (tt > 1e-6) & (tt < bt))
+            bt = jnp.where(ok, tt, bt)
+            bs = jnp.where(ok, slot_base + j, bs)
+            bu = jnp.where(ok, uu, bu)
+            bv = jnp.where(ok, ww, bv)
+        return bt, bs, bu, bv
+
+    def _dma(buf, s, idx):
+        return pltpu.make_async_copy(
+            table_ref.at[pl.ds(idx, 1), :],
+            panel.at[buf, pl.ds(s, 1), :],
+            dma_sems.at[buf, s])
+
+    def substep_pipe(st, j):
+        """Software-pipelined visit: the next visit's row fetch is issued
+        between this visit's node-advance (which determines the next node)
+        and its leaf intersection tests, so the fetch overlaps the leaf
+        vector math instead of serializing ahead of it.  Exact: a walk is
+        at either a node or a leaf per visit, so this visit's bt updates
+        (leaf branch) can never feed its own descent vote (node branch).
+        stage "pipe" uses plain copies into the single panel (the row value
+        is materialized to registers first); stage "dma" double-buffers the
+        panel and uses explicit async DMA with per-(buffer, walk) semaphores
+        — waits for buffer j%2 at visit start, starts fetches into the
+        other buffer as soon as the next node is known."""
+        cur, ptr, bt, bs, bu, bv, vis = st
+        parked = (cur == SENTINEL).astype(jnp.int32)
+        is_leaf = ((cur < 0).astype(jnp.int32)) * (1 - parked)
+        is_node = (cur >= 0).astype(jnp.int32)
+        cond_skip = stage in ("cond", "condh")
+        if stage == "dma":
+            buf = j % 2
+            cur_sel = sel_of(cur)
+            for s in range(walks):
+                _dma(buf, s, cur_sel[s, 0]).wait()
+            row = panel[buf, :, :]
+        else:
+            row = panel[:, :]
+        rd = lambda a, b: row[:, a:b]
+
+        ncur, nptr = node_advance(cur, ptr, bt, rd, parked, is_node,
+                                  cond_skip=cond_skip)
+        nsel = sel_of(ncur)
+        idxs = [nsel[s, 0] for s in range(walks)]
+        if stage == "dma":
+            for s in range(walks):
+                _dma(1 - (j % 2), s, idxs[s]).start()
+        else:
+            for s in range(walks):
+                panel[s:s + 1, :] = table_ref[pl.ds(idxs[s], 1), :]
+
+        if cond_skip:
+            bt, bs, bu, bv = jax.lax.cond(
+                jnp.sum(is_leaf) > 0,
+                lambda: leaf_tests(cur, rd, is_leaf, bt, bs, bu, bv),
+                lambda: (bt, bs, bu, bv))
+        else:
+            bt, bs, bu, bv = leaf_tests(cur, rd, is_leaf, bt, bs, bu, bv)
+        if any_hit:
+            # prefetched rows for done-overridden walks go unused (their
+            # walk parks); the wait descriptor only needs matching shape
+            done = jnp.sum(((bs >= 0) | (bt <= 0.0)).astype(jnp.float32),
+                           axis=1, keepdims=True) >= float(LANES)
+            ncur = jnp.where(done, SENTINEL, ncur)
+            nptr = jnp.where(done, 0, nptr)
+        vis = vis + (1 - parked)
+        return ncur, nptr, bt, bs, bu, bv, vis
 
     def substep(st):
         cur, ptr, bt, bs, bu, bv, vis = st       # registers, no VMEM state
@@ -126,7 +308,7 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
                 [table_ref[pl.ds(idxs[s], 1), :] for s in range(walks)],
                 axis=0)
             rd = lambda a, b: row[:, a:b]
-        elif stage == "value":
+        elif stage in ("value", "hbm"):
             for s in range(walks):
                 panel[s:s + 1, :] = table_ref[pl.ds(idxs[s], 1), :]
             row = panel[:, :]
@@ -233,13 +415,15 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
     # client holds the device claim for ~25 min (.claude/skills/verify).
     max_steps = 8 * (table_rows + 64)  # bound scales with table, not width
 
+    pipelined = stage in ("pipe", "dma", "cond", "condh")
+
     def body(go):
         st = (walk_state[0:walks, 0:1].astype(jnp.int32),
               walk_state[walks:2 * walks, 0:1].astype(jnp.int32),
               t_ref[0], slot_ref[0], u_ref[0], v_ref[0],
               visits_ref[0][:, 0:1])
-        for _ in range(unroll):
-            st = substep(st)
+        for j in range(unroll):
+            st = substep_pipe(st, j) if pipelined else substep(st)
         cur, ptr, bt, bs, bu, bv, vis = st
         walk_state[0:walks, :] = lanes(cur)
         walk_state[walks:2 * walks, :] = lanes(ptr)
@@ -262,19 +446,35 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
     u_ref[0] = jnp.zeros((walks, LANES), jnp.float32)
     v_ref[0] = jnp.zeros((walks, LANES), jnp.float32)
     stack[:, 0:1] = jnp.full((walks, 1), SENTINEL, jnp.int32)
+    if pipelined:
+        # prologue: every walk starts at the root -> prefetch row 0
+        if stage == "dma":
+            for s in range(walks):
+                _dma(0, s, jnp.int32(0)).start()
+        else:
+            for s in range(walks):
+                panel[s:s + 1, :] = table_ref[pl.ds(0, 1), :]
     jax.lax.while_loop(lambda go: go > 0, body, jnp.int32(1))
+    if stage == "dma":
+        # retire the fetches the final substep issued (unroll is even, so
+        # they always target buffer 0); waits only need matching shapes
+        curf = walk_state[0:walks, 0:1].astype(jnp.int32)
+        cur_sel = sel_of(curf)
+        for s in range(walks):
+            _dma(0, s, cur_sel[s, 0]).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("leaf_size", "any_hit",
                                              "stack_depth", "interpret",
                                              "unroll", "stage", "walks",
-                                             "tree_width"))
+                                             "tree_width", "table_hbm"))
 def packet_traverse3(nodes, leaves, origin: V3, direction: V3, tmax=None, *,
                      leaf_size: int = 8, any_hit: bool = False,
                      stack_depth: int = 64,
                      interpret: bool = False,
-                     unroll: int = 4, stage: str = "value",
-                     walks: int = WALKS, tree_width: int = 8) -> PacketHit:
+                     unroll: int = 4, stage: str = "pipe",
+                     walks: int = WALKS, tree_width: int = 8,
+                     table_hbm: bool = False) -> PacketHit:
     """v3 multiwalk traversal: same contract as ops/traverse.packet_traverse
     (visits are per-128-ray walk rather than per-1024-ray packet).
 
@@ -285,9 +485,24 @@ def packet_traverse3(nodes, leaves, origin: V3, direction: V3, tmax=None, *,
     them).
     stage: "value" materializes each fetched row panel once and
     lane-slices the register value; "ref" re-slices the VMEM scratch
-    directly per field.
+    directly per field; "pipe"/"dma"/"cond"/"condh" are the round-4
+    software-pipelined variants (fetch issued between node-advance and
+    leaf tests; see substep_pipe).
+    table_hbm: big-scene mode — the packed node+leaf table stays in HBM
+    (no VMEM residency, no size budget) and every visit's rows arrive via
+    the double-buffered async DMA of the "dma" stage, overlapped with the
+    previous visit's leaf tests.  Forces stage "dma".  This removes the
+    reference's only scene cap analog (GPU memory, main.js:408-437) at the
+    cost of per-visit DMA latency; the VMEM path stays the fast default.
     """
-    check_vmem_budget(nodes, leaves)
+    if table_hbm:
+        stage = "dma"
+    else:
+        check_vmem_budget(nodes, leaves)
+    if stage == "dma" and unroll % 2 != 0:
+        raise ValueError("stage='dma' double-buffers the fetch panel per "
+                         "substep; unroll must be even so every while-loop "
+                         "body leaves the same buffer outstanding")
     n = origin.x.shape[0]
     group = walks * LANES
     n_pad = (-n) % group
@@ -328,6 +543,8 @@ def packet_traverse3(nodes, leaves, origin: V3, direction: V3, tmax=None, *,
         grid=(npg,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY)
+            if (stage in ("hbm", "condh") or table_hbm) else
             pl.BlockSpec(table.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 7, walks, LANES), lambda i: (i, 0, 0, 0),
@@ -335,9 +552,16 @@ def packet_traverse3(nodes, leaves, origin: V3, direction: V3, tmax=None, *,
         ],
         out_specs=[out_block] * 5,
         out_shape=[out_shape, out_shape_i, out_shape, out_shape, out_shape_i],
-        scratch_shapes=[pltpu.VMEM((walks, LANES), jnp.float32),
-                        pltpu.VMEM((walks, stack_depth), jnp.int32),
-                        pltpu.VMEM((2 * walks, LANES), jnp.int32)],
+        scratch_shapes=(
+            [pltpu.VMEM((2, walks, LANES) if stage == "dma"
+                        else (walks, LANES), jnp.float32),
+             pltpu.VMEM((walks, stack_depth), jnp.int32),
+             pltpu.VMEM((2 * walks, LANES), jnp.int32)]
+            + ([pltpu.SemaphoreType.DMA((2, walks))] if stage == "dma"
+               else [])
+            + ([pltpu.VMEM(table.shape, jnp.float32),
+                pltpu.SemaphoreType.DMA(())]
+               if stage in ("hbm", "condh") else [])),
         interpret=interpret,
     )(n_nodes, table, rays)
 
