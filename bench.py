@@ -39,21 +39,28 @@ def main():
     size = int(os.environ.get("FSPT_BENCH_SIZE", "512"))
     warmup = int(os.environ.get("FSPT_BENCH_WARMUP", "2"))
     iters = int(os.environ.get("FSPT_BENCH_ITERS", "8"))
+    spp = int(os.environ.get("FSPT_BENCH_SPP", "8"))
 
     t0 = time.time()
     scene = make_bunny_standin_scene(subdivisions=subdiv)
     build_s = time.time() - t0
 
-    # (1.3, 8, 32, 64): measured-fastest schedule for this open scene;
-    # 99.2% of path segments survive the RR, so the variance cost is nil.
+    # Wavefront-batched step: 8 samples share one path state so tail
+    # iterations pool their survivors (trace_paths_batched).  The schedule
+    # tracks the measured per-sample occupancy collapse (0.68, 0.10, 0.03,
+    # 0.01, ...) x the batch: early divisors match the round-3 tuning,
+    # tail divisors tighten ~8x because 8 samples' survivors share each
+    # 1024-lane packet (PERF.md: bounces 3-7 ran at ~0% occupancy).
     cfg = RenderConfig(width=size, height=size, bounces=8,
-                       extra_refraction_iters=0, batch_spp=1,
-                       compact=True,
-                       compact_schedule=(1.3, 8, 32, 64))
+                       extra_refraction_iters=0, batch_spp=spp,
+                       compact=True, wavefront_batch=spp > 1,
+                       sort_state=True,
+                       compact_schedule=(1.3, 8, 32, 96, 350,
+                                         1024, 2048, 2048))
     r = Renderer(scene, cfg)
 
     t0 = time.time()
-    r.step()  # compile + 1 sample
+    r.step()  # compile + 1 batch
     compile_s = time.time() - t0
 
     r.step(warmup)

@@ -75,6 +75,14 @@ class RenderConfig:
     # Sort secondary rays by direction octant before traversal so packets
     # stay coherent (stable sort preserves tile grouping within octants)
     sort_rays: bool = True
+    # Coherence-sort the PATH STATE once per iteration (Morton order of
+    # hit points) instead of sorting + un-permuting every traversal
+    # launch: hits come back aligned, so the inverse row scatter
+    # (measured 10-36 ms at 403k lanes — the dominant sort-phase cost,
+    # PERF.md) disappears, and only w lanes are sorted instead of the
+    # 2w-3w launch concatenation.  Estimator-neutral (lane order never
+    # enters the estimator).  Off by default, on in bench/CLI.
+    sort_state: bool = False
     # Active-lane compaction (core/integrator._compact): statically shrink
     # the path state between bounce iterations, Russian-roulette-reweighting
     # when live lanes exceed the next width, so per-iteration cost tracks
@@ -96,6 +104,20 @@ class RenderConfig:
     # of segments surviving — open/sky scenes should pass the tighter
     # schedule explicitly (bench.py does).
     compact_schedule: Tuple[float, ...] = (1.3, 4, 16, 32)
+    # Cross-sample wavefront batching: trace all batch_spp samples of a
+    # step as ONE path state (core/integrator.trace_paths_batched) so the
+    # samples' compacted tails pool into shared packet-aligned launches —
+    # the 1024-lane width floor that kept tail iterations at ~0% occupancy
+    # amortizes over the batch.  Requires compact=True and batch_spp > 1 to
+    # have any effect; pair with a tail-tightened compact_schedule (the
+    # divisors apply to batch_spp * num_pixels lanes).  Off by default for
+    # estimator-parity defaults, like compact.
+    wavefront_batch: bool = False
+    # Iterations whose PER-SAMPLE launch width exceeds this stay per-sample
+    # (merging early high-occupancy iterations only superlinearizes the
+    # coherence sorts); at the first schedule group at or below it, the
+    # batch's states concatenate into one shared wavefront.
+    wavefront_merge_width: int = 65536
     # Pack the four material maps (+x-neighbor texels) into one combined
     # row table per traced sample so a full bilinear material fetch costs
     # 2 gathers instead of 16 (core/integrator.TexTables).  Automatically

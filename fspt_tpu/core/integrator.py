@@ -63,12 +63,18 @@ def intersect(scene, cfg: RenderConfig, meta, origin: V3, direction: V3,
     the hit event is a discrete decision (SURVEY §7.1), so kernel inputs are
     detached and shading re-derives differentiable quantities."""
     if cfg.intersector == "brute":
-        return _intersect_brute(scene, cfg, origin, direction)
+        return _intersect_brute(scene, cfg, origin, direction, tmax=tmax)
     width = getattr(meta, "bvh_width", 8)
     if cfg.intersector == "walk":
+        from fspt_tpu.ops.traverse import tables_fit_vmem
         from fspt_tpu.ops.traverse3 import packet_traverse3
         import functools as _ft
-        impl = _ft.partial(packet_traverse3, tree_width=width)
+        # big scenes fall back to HBM-resident tables streamed per visit
+        # by async DMA (the reference's only cap is GPU memory,
+        # main.js:408-437; ours is now HBM too)
+        hbm = not tables_fit_vmem(scene.pk_nodes, scene.pk_leaves)
+        impl = _ft.partial(packet_traverse3, tree_width=width,
+                          table_hbm=hbm)
     else:
         if width != 8:
             raise ValueError(
@@ -116,7 +122,11 @@ def sorted_intersect(scene, cfg: RenderConfig, meta, origin: V3,
     43.6 direction-first; finer direction quantization is far worse —
     dir6 107 ms, dir9 134 ms).  One lax.sort over [key, lane-id] plus one
     row gather and one inverse row scatter."""
-    if cfg.intersector not in ("packet", "walk") or not cfg.sort_rays:
+    if (cfg.intersector not in ("packet", "walk") or not cfg.sort_rays
+            or cfg.sort_state):
+        # sort_state: the path state was already permuted into Morton
+        # order this iteration (_sort_state), so launches go out unsorted
+        # and hits come back aligned — no inverse scatter
         return intersect(scene, cfg, meta, origin, direction, tmax=tmax,
                          any_hit=any_hit)
     n = origin.x.shape[0]
@@ -154,13 +164,23 @@ def sorted_intersect(scene, cfg: RenderConfig, meta, origin: V3,
                      visits=out[:, 4].astype(jnp.int32))
 
 
-def _intersect_brute(scene, cfg, origin: V3, direction: V3) -> PacketHit:
+def _intersect_brute(scene, cfg, origin: V3, direction: V3,
+                     tmax=None) -> PacketHit:
     """O(N*T) oracle path (cfg.intersector='brute', tests only)."""
     from fspt_tpu.core.geometry import brute_force_intersect
     o = sg(vec.to_array(origin))
     d = sg(vec.to_array(direction))
     t, slot = brute_force_intersect(o, d, scene.tri_v0, scene.tri_e1,
                                     scene.tri_e2, max_t=cfg.max_t)
+    if tmax is not None:
+        # honor the per-ray clip like the Pallas kernels (t_init = tmax,
+        # hits require t < tmax): without this, light-NEE shadow rays
+        # (tmax = light distance * (1 - 1e-3)) self-block on the light
+        # they sample and l_nee silently never contributes in brute mode
+        tmax = sg(tmax)
+        hit_ok = t < tmax
+        slot = jnp.where(hit_ok, slot, -1)
+        t = jnp.where(hit_ok, t, tmax)
     gi = jnp.maximum(slot, 0)
     v0 = scene.tri_v0[gi]
     e1 = scene.tri_e1[gi]
@@ -327,6 +347,9 @@ class TraceStats(NamedTuple):
     active: jnp.ndarray       # (max_iters,) f32 — live scatter lanes per it
     shadow: jnp.ndarray       # (max_iters,) f32 — live shadow lanes per it
     visits: jnp.ndarray       # (max_iters,) f32 — summed node visits / lane
+    rr_lanes: jnp.ndarray      # () f32 — active lanes dropped (and RR-
+    #                            reweighted) across all compactions; > 0
+    #                            iff Russian roulette actually fired
 
 
 # RNG stream id base for compaction survivor selection (streams 1..max_iters
@@ -334,7 +357,8 @@ class TraceStats(NamedTuple):
 _RR_STREAM = 64
 
 
-def _compact(state: PathState, acc, key, it: int, w_out: int):
+def _compact(state: PathState, acc, key, it: int, w_out: int,
+             key_rows=None, lanes_per_key: int = 0):
     """Shrink the path state to `w_out` lanes, unbiasedly.
 
     TPU shapes are static, so "trace only the live rays" cannot be a
@@ -350,10 +374,17 @@ def _compact(state: PathState, acc, key, it: int, w_out: int):
     lane-for-lane, because all per-lane randomness is keyed by the global
     lane id (core/rng.py), not by buffer position.
 
-    Cost: one (W_in,) sort + two row gathers + one row scatter-add; pays
-    for itself many times over because every downstream per-iteration cost
-    (shading gathers, coherence sort, traversal, BRDF math) scales with
-    the static width, and measured occupancy collapses after bounce 0
+    Cost: two row gathers + one row scatter-add + the survivor selection.
+    Selection is a prefix-sum compaction (two cumsums + one (W_in,) i32
+    scatter) in the common no-RR case; the O(W log W) lax.sort runs only
+    when live lanes exceed the budget and a random subset must be drawn
+    (round-3 VERDICT weak #5: the unconditional full sort cost ~12.6 ms at
+    262k lanes — several times the prefix form).  Which lanes survive is
+    estimator-neutral in the no-RR case (every active lane survives with
+    weight 1 and all per-lane randomness is keyed by gid, not position).
+    Pays for itself many times over because every downstream per-iteration
+    cost (shading gathers, coherence sort, traversal, BRDF math) scales
+    with the static width, and measured occupancy collapses after bounce 0
     (0.68 -> 0.10 -> 0.04 -> 0.01 on the bunny bench).
     """
     w_in = state.lidx.shape[0]
@@ -363,12 +394,28 @@ def _compact(state: PathState, acc, key, it: int, w_out: int):
         unique_indices=True, mode="promise_in_bounds")
     active = state.active
     n_active = jnp.sum(active.astype(jnp.int32))
-    u = stream_uniforms(key, _RR_STREAM + it, (1, w_in),
-                        lane_offset=state.gid)[0]
-    skey = jnp.where(active, sg(u), 2.0)   # inactive lanes sort last
     order = jnp.arange(w_in, dtype=jnp.int32)
-    _, perm = jax.lax.sort((skey, order), num_keys=1, is_stable=False)
-    sel = perm[:w_out]
+
+    def select_sorted():
+        # RR: uniform random min(A, w_out)-subset (smallest key wins)
+        u = stream_uniforms(key, _RR_STREAM + it, (1, w_in),
+                            lane_offset=state.gid, key_rows=key_rows,
+                            lanes_per_key=lanes_per_key)[0]
+        skey = jnp.where(active, sg(u), 2.0)   # inactive lanes sort last
+        _, perm = jax.lax.sort((skey, order), num_keys=1, is_stable=False)
+        return perm[:w_out]
+
+    def select_prefix():
+        # no RR: stable-compact every active lane to the front
+        ai = active.astype(jnp.int32)
+        pos = jnp.cumsum(ai) - 1
+        ipos = n_active + jnp.cumsum(1 - ai) - 1
+        dest = jnp.where(active, pos, ipos)    # a permutation of [0, w_in)
+        inv = jnp.zeros(w_in, jnp.int32).at[dest].set(
+            order, unique_indices=True, mode="promise_in_bounds")
+        return inv[:w_out]
+
+    sel = jax.lax.cond(n_active > w_out, select_sorted, select_prefix)
 
     # two row gathers move the whole state (TPU gather cost is per-index)
     frows = jnp.stack([
@@ -383,6 +430,7 @@ def _compact(state: PathState, acc, key, it: int, w_out: int):
     new_active = irows[:, 2] > 0
     scale = jnp.where(n_active > w_out,
                       n_active.astype(jnp.float32) / jnp.float32(w_out), 1.0)
+    rr_dropped = jnp.maximum(n_active - w_out, 0).astype(jnp.float32)
     thr = V3(frows[:, 9], frows[:, 10], frows[:, 11]) * scale
     zero = jnp.zeros(w_out, jnp.float32)
     return PathState(
@@ -391,7 +439,55 @@ def _compact(state: PathState, acc, key, it: int, w_out: int):
         t=frows[:, 6], slot=irows[:, 0], bu=frows[:, 7], bv=frows[:, 8],
         throughput=thr, color=V3(zero, zero, zero),
         bounces_used=irows[:, 1], active=new_active,
-        prev_pdf=frows[:, 12], lidx=irows[:, 3], gid=irows[:, 4]), acc
+        prev_pdf=frows[:, 12], lidx=irows[:, 3], gid=irows[:, 4]
+    ), acc, rr_dropped
+
+
+def _sort_state(scene, state: PathState) -> PathState:
+    """Reorder the whole path state into Morton order of the current hit
+    points (inactive lanes last).
+
+    This replaces the per-launch sort+unsort of sorted_intersect
+    (cfg.sort_state): permuting the STATE once per iteration keeps every
+    subsequent traversal launch coherent with hits returned already
+    aligned, eliminating the inverse row scatter — measured at 10-36 ms
+    per 403k-lane launch on v5e, the single most expensive part of the
+    "coherence sort" phase (PERF.md) — and halves the sorted lane count
+    (shadow segments inherit the state's order; their env-bin-clustered
+    directions stay coherent under a position-major key, which round-3
+    sweeps measured as the dominant key anyway).  Estimator-neutral: all
+    per-lane randomness is keyed by gid and radiance deposits by lidx, so
+    lane order never enters the estimator (same argument as compaction's
+    survivor reshuffle)."""
+    w = state.lidx.shape[0]
+    hit_p = state.origin + state.direction * state.t
+    wmin = scene.node_min[0]
+    extent = jnp.maximum(scene.node_max[0] - wmin, 1e-6)
+    morton = _morton21((hit_p.x - wmin[0]) / extent[0],
+                       (hit_p.y - wmin[1]) / extent[1],
+                       (hit_p.z - wmin[2]) / extent[2])
+    key = jnp.where(state.active, morton, jnp.int32(1) << 30)
+    order = jnp.arange(w, dtype=jnp.int32)
+    _, perm = jax.lax.sort((sg(key), order), num_keys=2, is_stable=False)
+    frows = jnp.stack([
+        state.origin.x, state.origin.y, state.origin.z,
+        state.direction.x, state.direction.y, state.direction.z,
+        state.t, state.bu, state.bv,
+        state.throughput.x, state.throughput.y, state.throughput.z,
+        state.color.x, state.color.y, state.color.z,
+        state.prev_pdf], axis=-1)[perm]
+    irows = jnp.stack([state.slot, state.bounces_used,
+                       state.active.astype(jnp.int32),
+                       state.lidx, state.gid], axis=-1)[perm]
+    return PathState(
+        origin=V3(frows[:, 0], frows[:, 1], frows[:, 2]),
+        direction=V3(frows[:, 3], frows[:, 4], frows[:, 5]),
+        t=frows[:, 6], bu=frows[:, 7], bv=frows[:, 8],
+        throughput=V3(frows[:, 9], frows[:, 10], frows[:, 11]),
+        color=V3(frows[:, 12], frows[:, 13], frows[:, 14]),
+        prev_pdf=frows[:, 15],
+        slot=irows[:, 0], bounces_used=irows[:, 1],
+        active=irows[:, 2] > 0, lidx=irows[:, 3], gid=irows[:, 4])
 
 
 def _compact_groups(cfg: RenderConfig, n: int):
@@ -407,7 +503,7 @@ def _compact_groups(cfg: RenderConfig, n: int):
     prev_w = n
     for it in range(cfg.max_iters):
         div = sched[min(it, len(sched) - 1)]
-        w = min(prev_w, max(128, math.ceil(n / div / 1024) * 1024), n)
+        w = min(prev_w, math.ceil(n / div / 1024) * 1024, n)
         if groups and w == groups[-1][0]:
             groups[-1][1] += 1
         else:
@@ -426,6 +522,14 @@ def trace_paths(scene, cfg: RenderConfig, meta, origin: V3, direction: V3,
     renders reproduce the single-device estimator bit-for-bit
     (core/rng.py)."""
     n = origin.x.shape[0]
+    if cfg.max_iters >= _RR_STREAM:
+        # shading iterations use RNG streams 1..max_iters; compaction
+        # survivor selection uses _RR_STREAM + it.  Overlap would correlate
+        # RR selection with shading randomness and silently bias the
+        # estimator (round-3 ADVICE item 2).
+        raise ValueError(
+            f"max_iters={cfg.max_iters} collides with the compaction RNG "
+            f"stream base {_RR_STREAM}; lower bounces/extra_refraction_iters")
     env_hw = (meta.env_h, meta.env_w)
     lane_offset = jnp.asarray(lane_offset)
     if lane_offset.ndim == 0:
@@ -455,21 +559,33 @@ def trace_paths(scene, cfg: RenderConfig, meta, origin: V3, direction: V3,
         lidx=jnp.arange(n, dtype=jnp.int32), gid=gid0)
 
     def body(state: PathState, it):
+        if cfg.sort_state:
+            state = _sort_state(scene, state)
         w = state.lidx.shape[0]
         u = stream_uniforms(key, 1 + it, (11, w), lane_offset=state.gid)
         return _shade_and_scatter(scene, cfg, meta, state, u, env_hw,
                                   attr, tex)
 
+    rr_lanes = jnp.float32(0.0)
     if not cfg.compact:
         state, per_it = jax.lax.scan(body, state, jnp.arange(cfg.max_iters))
-        c = state.color
+        if cfg.sort_state:
+            # state lanes are in Morton order; map colors back to rays
+            out = jnp.zeros((n, 3), jnp.float32).at[state.lidx].set(
+                jnp.stack([state.color.x, state.color.y, state.color.z],
+                          -1), unique_indices=True,
+                mode="promise_in_bounds")
+            c = V3(out[:, 0], out[:, 1], out[:, 2])
+        else:
+            c = state.color
     else:
         acc = jnp.zeros((n, 3), jnp.float32)
         per_groups = []
         it0 = 0
         for w, count in _compact_groups(cfg, n):
             if w < state.lidx.shape[0]:
-                state, acc = _compact(state, acc, key, it0, w)
+                state, acc, dropped = _compact(state, acc, key, it0, w)
+                rr_lanes = rr_lanes + dropped
             state, per_g = jax.lax.scan(body, state,
                                         jnp.arange(it0, it0 + count))
             per_groups.append(per_g)
@@ -488,7 +604,186 @@ def trace_paths(scene, cfg: RenderConfig, meta, origin: V3, direction: V3,
     n_active, n_shadow, visits = per_it
     stats = TraceStats(rays=jnp.float32(n) + jnp.sum(n_active)
                        + jnp.sum(n_shadow),
-                       active=n_active, shadow=n_shadow, visits=visits)
+                       active=n_active, shadow=n_shadow, visits=visits,
+                       rr_lanes=rr_lanes)
+    return radiance, stats
+
+
+def trace_paths_batched(scene, cfg: RenderConfig, meta, origin: V3,
+                        direction: V3, batch_key, n_per: int,
+                        return_stats: bool = False):
+    """Cross-sample wavefront batch: K = n_total / n_per samples traced so
+    their compacted tails share launches (round-3 VERDICT weak #3: tail
+    iterations ran 1024+-lane launches at ~0% occupancy — the 1024-lane
+    packet floor cannot be amortized within one sample, but K samples'
+    ~tens of live tail lanes pool into a single packet).
+
+    Two phases.  Early iterations — whose per-sample launch width exceeds
+    cfg.wavefront_merge_width — run per sample under a lax.scan over the
+    batch, exactly like K sequential trace_paths calls (merging them would
+    only superlinearize the K*n-lane coherence sorts; perf_phase.py
+    measured the 403k-lane bounce-0 sort at 17.5 ms already).  The K
+    compacted states then concatenate into ONE path state for the
+    remaining iterations, whose widths come from the schedule applied to
+    the combined K*n lane count — so a divisor of 2048 at the tail yields
+    a single 1024-lane launch carrying all K samples' survivors.
+
+    Input rays are the K samples' rays concatenated (sample k's camera
+    rays, generated with key fold_in(batch_key, k), at lanes
+    [k*n_per, (k+1)*n_per)).  Per-lane randomness in the merged phase is
+    keyed by (fold_in(batch_key, lane//n_per), stream, lane%n_per)
+    (core/rng.stream_uniforms key_rows), which reproduces each sample's
+    unbatched streams bit-for-bit; compaction survivor selection pools
+    lanes across samples, so results are bit-identical to K sequential
+    trace_paths calls whenever RR does not fire (the same exactness
+    contract as compaction itself, tests/test_compact.py) and unbiased
+    when it does.
+
+    Returns the SUM over the K samples of their (clamped, per-sample)
+    radiance as V3 (n_per,) planes — the caller adds it to the
+    accumulator and advances the sample count by K."""
+    n_tot = origin.x.shape[0]
+    k_samples = n_tot // n_per
+    assert k_samples * n_per == n_tot, (n_tot, n_per)
+    if cfg.max_iters >= _RR_STREAM:
+        raise ValueError(
+            f"max_iters={cfg.max_iters} collides with the compaction RNG "
+            f"stream base {_RR_STREAM}; lower bounces/extra_refraction_iters")
+    env_hw = (meta.env_h, meta.env_w)
+    key_rows = jax.vmap(lambda i: jax.random.key_data(
+        jax.random.fold_in(batch_key, i)))(
+            jnp.arange(k_samples)).astype(jnp.uint32)
+    tex = _packed_tables(scene, cfg, meta)
+    attr = _attr_table(scene)
+
+    # split the schedule: per-sample groups (phase A) vs merged groups
+    groups = _compact_groups(cfg, n_per)
+    merged = _compact_groups(cfg, n_tot)
+    split = len(groups)
+    for gi, (w, _) in enumerate(groups):
+        if w <= cfg.wavefront_merge_width:
+            split = gi
+            break
+    groups_a = groups[:split]
+    its_a = sum(c for _, c in groups_a)
+    # merged-phase groups realigned to the combined lane count
+    groups_b = []
+    itx = 0
+    for w, count in merged:
+        take = max(0, min(count, itx + count - its_a))
+        if take and itx + count > its_a:
+            groups_b.append([w, take])
+        itx += count
+
+    def body_scalar_key(key):
+        def body(state: PathState, it):
+            if cfg.sort_state:
+                state = _sort_state(scene, state)
+            w = state.lidx.shape[0]
+            u = stream_uniforms(key, 1 + it, (11, w),
+                                lane_offset=state.gid)
+            return _shade_and_scatter(scene, cfg, meta, state, u, env_hw,
+                                      attr, tex)
+        return body
+
+    ox = origin.x.reshape(k_samples, n_per)
+    oy = origin.y.reshape(k_samples, n_per)
+    oz = origin.z.reshape(k_samples, n_per)
+    dx = direction.x.reshape(k_samples, n_per)
+    dy = direction.y.reshape(k_samples, n_per)
+    dz = direction.z.reshape(k_samples, n_per)
+
+    def phase_a(acc, k):
+        o = V3(ox[k], oy[k], oz[k])
+        d = V3(dx[k], dy[k], dz[k])
+        skey = jax.random.fold_in(batch_key, k)
+        primary = intersect(scene, cfg, meta, o, d)
+        miss = primary.slot < 0
+        zero = vec.splat(0.0, like=o.x)
+        color = where(miss, env_radiance_rows(tex.env6, env_hw, d,
+                                              scene.env_theta), zero)
+        state = PathState(
+            origin=o, direction=d, t=primary.t, slot=primary.slot,
+            bu=primary.u, bv=primary.v,
+            throughput=vec.splat(1.0, like=o.x), color=color,
+            bounces_used=jnp.zeros(n_per, jnp.int32), active=~miss,
+            prev_pdf=jnp.full(n_per, 1.0e16, jnp.float32),
+            lidx=k * n_per + jnp.arange(n_per, dtype=jnp.int32),
+            gid=jnp.arange(n_per, dtype=jnp.int32))
+        rr = jnp.float32(0.0)
+        per_a = []
+        it0 = 0
+        body = body_scalar_key(skey)
+        for w, count in groups_a:
+            if w < state.lidx.shape[0]:
+                state, acc, dropped = _compact(state, acc, skey, it0, w)
+                rr = rr + dropped
+            state, per_g = jax.lax.scan(body, state,
+                                        jnp.arange(it0, it0 + count))
+            per_a.append(per_g)
+            it0 += count
+        per_it = (jax.tree.map(lambda *xs: jnp.concatenate(xs), *per_a)
+                  if per_a else None)
+        # shrink to the merged phase's per-sample share BEFORE stacking —
+        # per-sample selection with the sample's own key, exactly what the
+        # unbatched estimator does at this boundary, and it keeps the
+        # merge concatenation at K * (w_b/K) lanes instead of K * w_m
+        if groups_b:
+            w_b = -(-groups_b[0][0] // k_samples)
+            if w_b < state.lidx.shape[0]:
+                state, acc, dropped = _compact(state, acc, skey, it0, w_b)
+                rr = rr + dropped
+        # globalize gid for the merged phase's key_rows lookup
+        state = state._replace(gid=k * n_per + state.gid)
+        return acc, (state, per_it, rr)
+
+    acc = jnp.zeros((n_tot, 3), jnp.float32)
+    acc, (states, per_a, rr_a) = jax.lax.scan(
+        phase_a, acc, jnp.arange(k_samples))
+    rr_lanes = jnp.sum(rr_a)
+    per_groups = ([jax.tree.map(lambda x: jnp.sum(x, axis=0), per_a)]
+                  if per_a is not None else [])
+
+    # ---- merge: (K, w_m) stacked planes -> one (K*w_m,) state ----------
+    state = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), states)
+
+    def body(state: PathState, it):
+        if cfg.sort_state:
+            state = _sort_state(scene, state)
+        w = state.lidx.shape[0]
+        u = stream_uniforms(batch_key, 1 + it, (11, w),
+                            lane_offset=state.gid, key_rows=key_rows,
+                            lanes_per_key=n_per)
+        return _shade_and_scatter(scene, cfg, meta, state, u, env_hw,
+                                  attr, tex)
+
+    it0 = its_a
+    for w, count in groups_b:
+        if w < state.lidx.shape[0]:
+            state, acc, dropped = _compact(state, acc, batch_key, it0, w,
+                                           key_rows=key_rows,
+                                           lanes_per_key=n_per)
+            rr_lanes = rr_lanes + dropped
+        state, per_g = jax.lax.scan(body, state,
+                                    jnp.arange(it0, it0 + count))
+        per_groups.append(per_g)
+        it0 += count
+    acc = acc.at[state.lidx].add(
+        jnp.stack([state.color.x, state.color.y, state.color.z], -1),
+        unique_indices=True, mode="promise_in_bounds")
+    per_it = jax.tree.map(lambda *xs: jnp.concatenate(xs), *per_groups)
+
+    # per-sample radiance clamp, then sum over the batch
+    c = jnp.clip(acc.reshape(k_samples, n_per, 3), 0.0, cfg.radiance_clamp)
+    total = jnp.sum(c, axis=0)
+    radiance = V3(total[:, 0], total[:, 1], total[:, 2])
+    if not return_stats:
+        return radiance
+    n_active, n_shadow, visits = per_it
+    stats = TraceStats(rays=jnp.float32(n_tot) + jnp.sum(n_active)
+                       + jnp.sum(n_shadow),
+                       active=n_active, shadow=n_shadow, visits=visits,
+                       rr_lanes=rr_lanes)
     return radiance, stats
 
 
@@ -528,7 +823,15 @@ def _attr_table(scene):
 
 
 def _shade_and_scatter(scene, cfg: RenderConfig, meta, s: PathState, u,
-                       env_hw, attr, tex: TexTables):
+                       env_hw, attr, tex: TexTables, trace_fn=None):
+    """One shading+scatter iteration.  trace_fn (perf instrumentation only,
+    scripts/perf_phase.py): replaces the sorted_intersect launches so the
+    traversal/sort/shading phases can be timed in isolation; production
+    callers leave it None."""
+    if trace_fn is None:
+        def trace_fn(o, d, a, tmax, any_hit=False):
+            return sorted_intersect(scene, cfg, meta, o, d, a, tmax=tmax,
+                                    any_hit=any_hit)
     active = s.active & (s.slot >= 0)
     slot = sg(jnp.maximum(s.slot, 0))
 
@@ -706,15 +1009,13 @@ def _shade_and_scatter(scene, cfg: RenderConfig, meta, s: PathState, u,
     cat = jnp.concatenate
     n = active.shape[0]
     if cfg.split_shadow:
-        nxt = sorted_intersect(scene, cfg, meta, seg_o[0], seg_d[0],
-                               seg_a[0], tmax=seg_t[0])
-        occ = sorted_intersect(
-            scene, cfg, meta,
+        nxt = trace_fn(seg_o[0], seg_d[0], seg_a[0], seg_t[0])
+        occ = trace_fn(
             V3(cat([o.x for o in seg_o[1:]]), cat([o.y for o in seg_o[1:]]),
                cat([o.z for o in seg_o[1:]])),
             V3(cat([d.x for d in seg_d[1:]]), cat([d.y for d in seg_d[1:]]),
                cat([d.z for d in seg_d[1:]])),
-            cat(seg_a[1:]), tmax=cat(seg_t[1:]), any_hit=True)
+            cat(seg_a[1:]), cat(seg_t[1:]), any_hit=True)
 
         def seg(i):
             if i == 0:
@@ -723,13 +1024,12 @@ def _shade_and_scatter(scene, cfg: RenderConfig, meta, s: PathState, u,
 
         hits_visits = nxt.visits
     else:
-        hits = sorted_intersect(
-            scene, cfg, meta,
+        hits = trace_fn(
             V3(cat([o.x for o in seg_o]), cat([o.y for o in seg_o]),
                cat([o.z for o in seg_o])),
             V3(cat([d.x for d in seg_d]), cat([d.y for d in seg_d]),
                cat([d.z for d in seg_d])),
-            cat(seg_a), tmax=cat(seg_t))
+            cat(seg_a), cat(seg_t))
 
         def seg(i):
             return jax.tree.map(lambda a: a[i * n:(i + 1) * n], hits)

@@ -55,7 +55,17 @@ def _pcg4d(a, b, c, d):
     return a, b, c, d
 
 
-def stream_uniforms(key, stream: int, shape, lane_offset=0):
+def key_rows_for(batch_key, k: int):
+    """(K, 2) u32 key-data rows for samples fold_in(batch_key, 0..K-1) —
+    the per-sample keys a cross-sample wavefront batch carries so each
+    lane draws ITS sample's streams (trace_paths_batched)."""
+    return jax.vmap(lambda i: jax.random.key_data(
+        jax.random.fold_in(batch_key, i)))(
+            jnp.arange(k)).astype(jnp.uint32)
+
+
+def stream_uniforms(key, stream: int, shape, lane_offset=0,
+                    key_rows=None, lanes_per_key: int = 0):
     """Uniforms in [0, 1) for a numbered stream within one sample step.
 
     shape: (rows, n).  The value at (r, i) is a pure function of
@@ -64,9 +74,15 @@ def stream_uniforms(key, stream: int, shape, lane_offset=0):
     lane_offset: scalar offset (lane ids = offset + arange(n)) or an (n,)
     array of explicit global lane ids (for interleaved shard assignment,
     parallel/dist.py).
+
+    key_rows + lanes_per_key (cross-sample wavefront batching): lane id g
+    belongs to sample g // lanes_per_key and hashes as (key_rows[sample],
+    stream, row, g % lanes_per_key) — BIT-IDENTICAL to the value the
+    unbatched estimator draws for that sample's local lane, so merging K
+    samples' tails into one launch does not perturb the estimator.  `key`
+    is ignored when key_rows is given.
     """
     rows, n = shape
-    kd = jax.random.key_data(key).astype(jnp.uint32)      # (2,)
     lane_offset = jnp.asarray(lane_offset)
     if lane_offset.ndim == 0:
         ids = lane_offset.astype(jnp.uint32) + jnp.arange(n, dtype=jnp.uint32)
@@ -74,9 +90,17 @@ def stream_uniforms(key, stream: int, shape, lane_offset=0):
         ids = lane_offset.astype(jnp.uint32)
     row = jnp.arange(rows, dtype=jnp.uint32)[:, None]
     ctr = (jnp.uint32(stream) << 8) | row                 # (rows, 1)
-    a = jnp.broadcast_to(ids[None, :], (rows, n))
-    b = jnp.broadcast_to(kd[0], (rows, n))
-    c = jnp.broadcast_to(kd[1], (rows, n))
+    if key_rows is None:
+        kd = jax.random.key_data(key).astype(jnp.uint32)  # (2,)
+        b = jnp.broadcast_to(kd[0], (rows, n))
+        c = jnp.broadcast_to(kd[1], (rows, n))
+        a = jnp.broadcast_to(ids[None, :], (rows, n))
+    else:
+        s = (ids // jnp.uint32(lanes_per_key)).astype(jnp.int32)
+        local = ids % jnp.uint32(lanes_per_key)
+        b = jnp.broadcast_to(key_rows[s, 0][None, :], (rows, n))
+        c = jnp.broadcast_to(key_rows[s, 1][None, :], (rows, n))
+        a = jnp.broadcast_to(local[None, :], (rows, n))
     d = jnp.broadcast_to(ctr, (rows, n))
     _, _, _, out = _pcg4d(a, b, c, d)
     # top 24 bits -> [0, 1) exactly representable in f32

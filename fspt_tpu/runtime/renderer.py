@@ -61,13 +61,34 @@ def sample_step(scene, cfg: RenderConfig, meta, cam: CameraState, accum,
     key = sample_key(base_key, sample_idx)
     n = pixel_idx.shape[0]
 
+    def rays_for(k):
+        cam_u = stream_uniforms(k, 0, (4, n))
+        return generate_rays(
+            cam.position, cam.direction, cam.fov_scale, cam.focal_depth,
+            cam.aperture, resolution, cam_u, pixel_idx=pixel_idx)
+
+    if (cfg.wavefront_batch and cfg.compact and cfg.batch_spp > 1
+            and cfg.mode != "bvh_heatmap"):
+        # all batch_spp samples as one wavefront; tails share launches
+        from fspt_tpu.core.integrator import trace_paths_batched
+        from fspt_tpu.core.vec import V3
+        per = [rays_for(jax.random.fold_in(key, i))
+               for i in range(cfg.batch_spp)]
+        cat = lambda f: jnp.concatenate([f(o, d) for o, d in per])
+        origin = V3(cat(lambda o, d: o.x), cat(lambda o, d: o.y),
+                    cat(lambda o, d: o.z))
+        direction = V3(cat(lambda o, d: d.x), cat(lambda o, d: d.y),
+                       cat(lambda o, d: d.z))
+        radiance, stats = trace_paths_batched(
+            scene, cfg, meta, origin, direction, key, n_per=n,
+            return_stats=True)
+        accum = accum + jnp.stack([radiance.x, radiance.y, radiance.z])
+        return accum, count + cfg.batch_spp, rays + stats.rays
+
     def one_sample(spp_i, carry):
         acc, rays = carry
         k = jax.random.fold_in(key, spp_i)
-        cam_u = stream_uniforms(k, 0, (4, n))
-        origin, direction = generate_rays(
-            cam.position, cam.direction, cam.fov_scale, cam.focal_depth,
-            cam.aperture, resolution, cam_u, pixel_idx=pixel_idx)
+        origin, direction = rays_for(k)
         if cfg.mode == "bvh_heatmap":
             radiance = trace_heatmap(scene, cfg, meta, origin, direction)
             rays = rays + jnp.float32(n)
@@ -226,10 +247,14 @@ class Renderer:
         s = dict(self._stats)
         n = self.cfg.width * self.cfg.height
         # upper bound: every launch's full lane count (primary + batched
-        # scatter + env shadow, + light shadow when light NEE is on)
-        segs = 3 if self.cfg.use_light_nee else 2
-        s["lane_rays_upper_bound"] = (
-            s["samples"] * n * (1 + segs * self.cfg.max_iters))
+        # scatter + env shadow, + light shadow when light NEE is on);
+        # heatmap mode traces only the primary launch
+        if self.cfg.mode == "bvh_heatmap":
+            s["lane_rays_upper_bound"] = s["samples"] * n
+        else:
+            segs = 3 if self.cfg.use_light_nee else 2
+            s["lane_rays_upper_bound"] = (
+                s["samples"] * n * (1 + segs * self.cfg.max_iters))
         if s["seconds"] > 0:
             # honest throughput: active-lane rays actually traced
             # (TraceStats) per wall second — round-2 VERDICT item 6
@@ -271,6 +296,7 @@ class Renderer:
             "scatter_occupancy": (np.asarray(st.active) / n).tolist(),
             "shadow_occupancy": (np.asarray(st.shadow) / n).tolist(),
             "visits_per_lane": (np.asarray(st.visits) / n).tolist(),
+            "rr_lanes": float(st.rr_lanes),
         }
 
 

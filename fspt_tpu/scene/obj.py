@@ -192,6 +192,9 @@ def parse_obj(text: str, prop: Optional[dict] = None,
         nidx = tri[:, :, 2]
         vidx = np.where(vidx < 1, n_verts + vidx + 1, vidx) - 1
         nidx = np.where(nidx < 1, n_vn + nidx + 1, nidx) - 1
+        # vt indices are NOT wrapped for negative values — deliberate parity
+        # with the reference, which also only wraps v/vn (obj_loader.js:
+        # 103-116); a negative vt would mis-index there too.
         tidx = tidx - 1                                # may be -1 (absent)
         staged.append((name, vidx, tidx, nidx))
         if normals_mode != "mesh":

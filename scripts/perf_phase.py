@@ -1,0 +1,249 @@
+#!/usr/bin/env python
+"""Per-phase time breakdown + roofline for the bench sample step
+(round-3 VERDICT missing #1: "where do the 132 ms/sample go?").
+
+Replays the exact bench workload (bunny stand-in, 512^2, 8 bounces,
+compact schedule (1.3, 8, 32, 64)) phase by phase on REAL captured
+state:
+
+  1. the compaction loop is run eagerly once with a recording trace_fn
+     (core/integrator._shade_and_scatter hook) that stores every
+     traversal launch's actual rays;
+  2. each phase is then re-timed as its own jit on those captured
+     inputs: raygen, primary traversal, and per iteration the full
+     body, the body with traversal stubbed out (-> shading cost), the
+     production sorted_intersect (-> sort+traverse), and the raw
+     traversal on pre-sorted rays (-> traverse alone);
+  3. a roofline is printed: serial program-steps per launch, ns per
+     program-step, and the per-sample time bound they imply.
+
+Usage: PYTHONPATH=/root/repo python scripts/perf_phase.py
+"""
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/fspt_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from fspt_tpu.config import RenderConfig
+from fspt_tpu.core.camera import generate_rays
+from fspt_tpu.core.integrator import (PacketHit, PathState, _attr_table,
+                                      _compact, _compact_groups,
+                                      _packed_tables, _shade_and_scatter,
+                                      intersect, sorted_intersect,
+                                      trace_paths, _morton21)
+from fspt_tpu.core.rng import sample_key, stream_uniforms
+from fspt_tpu.core.vec import V3
+from fspt_tpu.runtime.layout import tile_order
+from fspt_tpu.runtime.renderer import CameraState
+from fspt_tpu.testing import make_bunny_standin_scene
+
+
+def drain(out):
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf[..., :1])          # force a device fetch (axon-safe)
+    return out
+
+
+def timed(fn, *args, reps=10):
+    drain(fn(*args))                   # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    drain(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    scene = make_bunny_standin_scene(subdivisions=6)
+    arrays = scene.device_arrays()
+    meta = scene.meta
+    cfg = RenderConfig(width=512, height=512, bounces=8,
+                       extra_refraction_iters=0, batch_spp=1, compact=True,
+                       compact_schedule=(1.3, 8, 32, 64))
+    cam = CameraState.from_config(scene.camera)
+    size = 512
+    n = size * size
+    env_hw = (meta.env_h, meta.env_w)
+    pixel_idx = jnp.asarray(tile_order(size, size), jnp.int32)
+    key = sample_key(jax.random.key(0), 0)
+    cam_u = stream_uniforms(key, 0, (4, n))
+
+    jit_raygen = jax.jit(lambda cu: generate_rays(
+        cam.position, cam.direction, cam.fov_scale, cam.focal_depth,
+        cam.aperture, (size, size), cu, pixel_idx=pixel_idx))
+    t_raygen = timed(jit_raygen, cam_u)
+    origin, direction = jit_raygen(cam_u)
+
+    jit_primary = jax.jit(lambda o, d: intersect(arrays, cfg, meta, o, d))
+    t_primary = timed(jit_primary, origin, direction)
+    primary = drain(jit_primary(origin, direction))
+
+    # ---- eager capture of the real compaction-loop states ---------------
+    tex = _packed_tables(arrays, cfg, meta)
+    attr = _attr_table(arrays)
+    miss = primary.slot < 0
+    zero = jnp.zeros(n, jnp.float32)
+    from fspt_tpu.core.env import env_radiance_rows
+    color = jax.tree.map(
+        lambda c: jnp.where(miss, c, zero),
+        env_radiance_rows(tex.env6, env_hw, direction, arrays.env_theta))
+    state = PathState(
+        origin=origin, direction=direction, t=primary.t, slot=primary.slot,
+        bu=primary.u, bv=primary.v,
+        throughput=V3(zero + 1, zero + 1, zero + 1), color=color,
+        bounces_used=jnp.zeros(n, jnp.int32), active=~miss,
+        prev_pdf=jnp.full(n, 1.0e16, jnp.float32),
+        lidx=jnp.arange(n, dtype=jnp.int32),
+        gid=jnp.arange(n, dtype=jnp.int32))
+
+    launches = {}          # it -> (o, d, active, tmax)
+    states = {}            # it -> state before the iteration
+    compacts = []          # (state, acc, it0, w)
+
+    # jitted capture: the recording trace_fn stashes the traced launch args
+    # and the wrapper returns them, so one compiled call per iteration
+    # yields both the next state and the real launch inputs (an eager
+    # capture over the axon tunnel is dispatch-bound and takes hours)
+    def step_and_capture(s, u):
+        rec = []
+
+        def fn(o, d, a, tmax, any_hit=False):
+            rec.append((o, d, a, tmax))
+            return sorted_intersect(arrays, cfg, meta, o, d, a, tmax=tmax,
+                                    any_hit=any_hit)
+
+        ns, _ = _shade_and_scatter(arrays, cfg, meta, s, u, env_hw, attr,
+                                   tex, trace_fn=fn)
+        return ns, rec[0]
+
+    caps = {}
+
+    acc = jnp.zeros((n, 3), jnp.float32)
+    it0 = 0
+    groups = _compact_groups(cfg, n)
+    for w, count in groups:
+        if w < state.lidx.shape[0]:
+            compacts.append((state, acc, it0, w))
+            state, acc, _ = jax.jit(functools.partial(
+                _compact, it=it0, w_out=w))(state, acc, key)
+        for it in range(it0, it0 + count):
+            wn = state.lidx.shape[0]
+            if wn not in caps:
+                caps[wn] = jax.jit(step_and_capture)
+            u = stream_uniforms(key, 1 + it, (11, wn), lane_offset=state.gid)
+            states[it] = (state, u)
+            state, (o, d, a, tmax) = caps[wn](state, u)
+            launches[it] = (o, d, a, tmax, False)
+        it0 += count
+
+    print(f"groups={groups}")
+
+    # ---- per-iteration timings ------------------------------------------
+    def body_fn(s, u, trace_fn=None):
+        return _shade_and_scatter(arrays, cfg, meta, s, u, env_hw, attr,
+                                  tex, trace_fn=trace_fn)
+
+    def const_trace(o, d, a, tmax, any_hit=False):
+        m = o.x.shape[0]
+        return PacketHit(t=tmax, slot=jnp.full((m,), -1, jnp.int32),
+                         u=jnp.zeros(m), v=jnp.zeros(m),
+                         visits=jnp.zeros((m,), jnp.int32))
+
+    jit_body = jax.jit(lambda s, u: body_fn(s, u))
+    jit_body_notrav = jax.jit(lambda s, u: body_fn(s, u,
+                                                   trace_fn=const_trace))
+    jit_si = jax.jit(lambda o, d, a, tm: sorted_intersect(
+        arrays, cfg, meta, o, d, a, tmax=tm))
+    jit_raw = jax.jit(lambda o, d, tm: intersect(
+        arrays, cfg, meta, o, d, tmax=tm))
+
+    rows = []
+    total_body = 0.0
+    for it in sorted(states):
+        s, u = states[it]
+        o, d, a, tmax, any_hit = launches[it]
+        w = s.lidx.shape[0]
+        t_body = timed(jit_body, s, u)
+        t_shade = timed(jit_body_notrav, s, u)
+        t_si = timed(jit_si, o, d, a, tmax)
+        # pre-sort the launch the way sorted_intersect would
+        octant = ((d.x < 0).astype(jnp.int32) * 4
+                  + (d.y < 0).astype(jnp.int32) * 2
+                  + (d.z < 0).astype(jnp.int32))
+        wmin = arrays.node_min[0]
+        ext = jnp.maximum(arrays.node_max[0] - wmin, 1e-6)
+        morton = _morton21((o.x - wmin[0]) / ext[0], (o.y - wmin[1]) / ext[1],
+                           (o.z - wmin[2]) / ext[2])
+        ikey = jnp.where(a, (morton << 3) | octant, jnp.int32(1) << 30)
+        perm = jnp.argsort(ikey)
+        so = V3(o.x[perm], o.y[perm], o.z[perm])
+        sd = V3(d.x[perm], d.y[perm], d.z[perm])
+        stm = tmax[perm]
+        t_raw = timed(jit_raw, so, sd, stm)
+        hit = drain(jit_raw(so, sd, stm))
+        vis = np.asarray(hit.visits).reshape(-1, 128)[:, 0]   # per walk
+        prog = vis.reshape(-1, 8)
+        rows.append(dict(it=it, width=w, launch=int(o.x.shape[0]),
+                         body_ms=t_body * 1e3, shade_ms=t_shade * 1e3,
+                         sort_ms=(t_si - t_raw) * 1e3,
+                         trav_ms=t_raw * 1e3,
+                         other_ms=(t_body - t_shade - t_si) * 1e3,
+                         walk_visits=int(vis.sum()),
+                         prog_steps=int(prog.max(axis=1).sum())))
+        total_body += t_body
+
+    t_compacts = []
+    for (s, a_, i0, w) in compacts:
+        jit_c = jax.jit(functools.partial(_compact, it=i0, w_out=w))
+        t_compacts.append(timed(jit_c, s, a_, key) * 1e3)
+
+    jit_full = jax.jit(lambda o, d, k: trace_paths(
+        arrays, cfg, meta, o, d, k, return_stats=True))
+    t_full = timed(jit_full, origin, direction, key, reps=5)
+
+    # primary traversal program-steps
+    pv = np.asarray(primary.visits).reshape(-1, 128)[:, 0]
+    prim_prog = int(pv.reshape(-1, 8).max(axis=1).sum())
+
+    print(f"\n{'it':>2} {'width':>7} {'launch':>7} {'body':>7} {'trav':>7} "
+          f"{'sort':>7} {'shade':>7} {'other':>7} {'wlkvis':>7} {'pstep':>6}")
+    for r in rows:
+        print(f"{r['it']:2d} {r['width']:7d} {r['launch']:7d} "
+              f"{r['body_ms']:7.2f} {r['trav_ms']:7.2f} {r['sort_ms']:7.2f} "
+              f"{r['shade_ms']:7.2f} {r['other_ms']:7.2f} "
+              f"{r['walk_visits']:7d} {r['prog_steps']:6d}")
+    sum_trav = sum(r['trav_ms'] for r in rows) + t_primary * 1e3
+    sum_sort = sum(r['sort_ms'] for r in rows)
+    sum_shade = sum(r['shade_ms'] for r in rows)
+    sum_body = sum(r['body_ms'] for r in rows)
+    tot_prog = prim_prog + sum(r['prog_steps'] for r in rows)
+    tot_walkvis = int(pv.sum()) + sum(r['walk_visits'] for r in rows)
+    print(f"\nraygen          {t_raygen * 1e3:8.2f} ms")
+    print(f"primary trav    {t_primary * 1e3:8.2f} ms  "
+          f"(prog_steps={prim_prog}, walk_visits={int(pv.sum())})")
+    print(f"bounce bodies   {sum_body:8.2f} ms  "
+          f"(trav {sum_trav - t_primary * 1e3:.2f}, sort {sum_sort:.2f}, "
+          f"shade {sum_shade:.2f})")
+    print(f"compactions     {sum(t_compacts):8.2f} ms  {t_compacts}")
+    print(f"sum of phases   {(t_raygen + t_primary) * 1e3 + sum_body + sum(t_compacts):8.2f} ms")
+    print(f"full trace_paths{t_full * 1e3:8.2f} ms")
+    print(f"\nroofline: {tot_prog} serial program-steps/sample; "
+          f"traversal {sum_trav:.2f} ms => "
+          f"{sum_trav * 1e6 / tot_prog:.0f} ns/program-step "
+          f"({sum_trav * 1e6 / tot_walkvis:.0f} ns/walk-visit x8 walks)")
+    honest = 624e3
+    print(f"2 Grays/s needs {honest / 2e9 * 1e3:.2f} ms/sample "
+          f"(~{honest:.0f} honest rays); at a 150 ns program-step floor "
+          f"traversal alone is {tot_prog * 150e-6:.1f} ms "
+          f"=> {honest / (tot_prog * 150e-9) / 1e6:.0f} Mrays/s ceiling "
+          f"at current visit counts")
+
+
+if __name__ == "__main__":
+    main()
