@@ -80,7 +80,8 @@ def main():
     }))
     print(f"# triangles={scene.num_triangles} bvh_depth={scene.bvh_depth} "
           f"scene_build={build_s:.1f}s compile={compile_s:.1f}s "
-          f"bench={s['seconds']:.2f}s samples={iters} "
+          f"bench={s['seconds']:.2f}s samples={s['samples']} "
+          f"ms_per_sample={s['seconds'] / max(s['samples'], 1) * 1e3:.1f} "
           f"honest_rays={s['rays']:.3e} "
           f"lane_rays_upper_bound={s['lane_rays_upper_bound']:.3e} "
           f"finite={ok} device={jax.devices()[0].device_kind}",
@@ -92,6 +93,10 @@ def main():
     print(f"# per-bounce scatter occupancy: {occ}", file=sys.stderr)
     print(f"# per-bounce shadow  occupancy: {sha}", file=sys.stderr)
     print(f"# per-bounce packet visits/lane: {vis}", file=sys.stderr)
+    print(f"# per-sample rr_lanes={m['rr_lanes']:.0f} "
+          f"(RR-dropped lanes; unbiased reweighting) — "
+          f"phase breakdown + roofline: PERF.md / scripts/perf_phase.py",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -53,7 +53,8 @@ def _build(args):
     scene = load_scene_file(args.scene)
     cfg = RenderConfig(width=w, height=h, bounces=args.bounces,
                        batch_spp=args.batch_spp, mode=args.mode,
-                       seed=args.seed, compact=not args.no_compact)
+                       seed=args.seed, compact=not args.no_compact,
+                       sort_state=not args.no_compact)
     post = None
     if args.denoise or args.exposure is not None:
         post = PostConfig(
@@ -102,7 +103,8 @@ def cmd_animate(args) -> int:
     loader = AssetLoader(os.path.dirname(os.path.abspath(args.scene)))
     cfg = RenderConfig(width=w, height=h, bounces=args.bounces,
                        batch_spp=args.batch_spp, seed=args.seed,
-                       compact=not args.no_compact)
+                       compact=not args.no_compact,
+                       sort_state=not args.no_compact)
     paths = render_animation(
         scene_dict, loader, args.out_dir,
         range(args.start, args.end), config=cfg, samples=args.samples,

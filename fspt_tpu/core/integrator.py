@@ -323,9 +323,9 @@ class PathState(NamedTuple):
     bu: jnp.ndarray            # (W,) hit barycentric (corner 1)
     bv: jnp.ndarray            # (W,) hit barycentric (corner 2)
     throughput: V3
-    color: V3                  # radiance accumulated since the last
-                               # compaction deposit (== total when the
-                               # compaction pipeline is off)
+    color: V3                  # radiance accumulated along this lane's
+                               # path so far (deposited once, at trace
+                               # end or when the lane is compacted away)
     bounces_used: jnp.ndarray  # (W,) i32
     active: jnp.ndarray        # (W,) bool
     prev_pdf: jnp.ndarray      # (W,) solid-angle pdf of the ray that
@@ -357,14 +357,13 @@ class TraceStats(NamedTuple):
 _RR_STREAM = 64
 
 
-def _compact(state: PathState, acc, key, it: int, w_out: int,
+def _compact(state: PathState, key, it: int, w_out: int,
              key_rows=None, lanes_per_key: int = 0):
     """Shrink the path state to `w_out` lanes, unbiasedly.
 
     TPU shapes are static, so "trace only the live rays" cannot be a
     dynamic-size launch (the GPU wavefront-compaction move).  Instead the
-    state is *statically* re-bucketed: pending radiance is deposited into
-    the full-width accumulator, then the survivors are a uniform random
+    state is *statically* re-bucketed: the survivors are a uniform random
     min(A, w_out)-subset of the A active lanes (smallest per-lane RNG key
     wins), and every survivor's throughput is scaled by A / w_out when
     A > w_out — classic Russian-roulette reweighting, so the estimator
@@ -374,73 +373,63 @@ def _compact(state: PathState, acc, key, it: int, w_out: int,
     lane-for-lane, because all per-lane randomness is keyed by the global
     lane id (core/rng.py), not by buffer position.
 
-    Cost: two row gathers + one row scatter-add + the survivor selection.
-    Selection is a prefix-sum compaction (two cumsums + one (W_in,) i32
-    scatter) in the common no-RR case; the O(W log W) lax.sort runs only
-    when live lanes exceed the budget and a random subset must be drawn
-    (round-3 VERDICT weak #5: the unconditional full sort cost ~12.6 ms at
-    262k lanes — several times the prefix form).  Which lanes survive is
-    estimator-neutral in the no-RR case (every active lane survives with
-    weight 1 and all per-lane randomness is keyed by gid, not position).
-    Pays for itself many times over because every downstream per-iteration
-    cost (shading gathers, coherence sort, traversal, BRDF math) scales
-    with the static width, and measured occupancy collapses after bounce 0
+    Radiance deposits are DEFERRED (round-4): survivors keep their
+    accumulated color, and the dropped lanes' (lidx, color) rows come back
+    densely (a complement gather, no scatter) for the caller to write in
+    ONE end-of-trace scatter where every framebuffer lane is set exactly
+    once.  The previous design scatter-added the FULL width at every
+    compaction — measured 6.6 ms per 262k-lane deposit on v5e, the
+    dominant compaction cost (the selection sort is ~3 ms; a cumsum-based
+    prefix selection was tried and is SLOWER — two 262k cumsums cost more
+    than the sort).
+
+    Cost: one (W_in,) sort + three row gathers.  Pays for itself many
+    times over because every downstream per-iteration cost (shading
+    gathers, coherence sort, traversal, BRDF math) scales with the static
+    width, and measured occupancy collapses after bounce 0
     (0.68 -> 0.10 -> 0.04 -> 0.01 on the bunny bench).
     """
     w_in = state.lidx.shape[0]
-    # deposit pending radiance at full width (survivors restart at 0)
-    acc = acc.at[state.lidx].add(
-        jnp.stack([state.color.x, state.color.y, state.color.z], axis=-1),
-        unique_indices=True, mode="promise_in_bounds")
     active = state.active
     n_active = jnp.sum(active.astype(jnp.int32))
+    u = stream_uniforms(key, _RR_STREAM + it, (1, w_in),
+                        lane_offset=state.gid, key_rows=key_rows,
+                        lanes_per_key=lanes_per_key)[0]
+    skey = jnp.where(active, sg(u), 2.0)   # inactive lanes sort last
     order = jnp.arange(w_in, dtype=jnp.int32)
+    _, perm = jax.lax.sort((skey, order), num_keys=1, is_stable=False)
+    sel = perm[:w_out]
 
-    def select_sorted():
-        # RR: uniform random min(A, w_out)-subset (smallest key wins)
-        u = stream_uniforms(key, _RR_STREAM + it, (1, w_in),
-                            lane_offset=state.gid, key_rows=key_rows,
-                            lanes_per_key=lanes_per_key)[0]
-        skey = jnp.where(active, sg(u), 2.0)   # inactive lanes sort last
-        _, perm = jax.lax.sort((skey, order), num_keys=1, is_stable=False)
-        return perm[:w_out]
-
-    def select_prefix():
-        # no RR: stable-compact every active lane to the front
-        ai = active.astype(jnp.int32)
-        pos = jnp.cumsum(ai) - 1
-        ipos = n_active + jnp.cumsum(1 - ai) - 1
-        dest = jnp.where(active, pos, ipos)    # a permutation of [0, w_in)
-        inv = jnp.zeros(w_in, jnp.int32).at[dest].set(
-            order, unique_indices=True, mode="promise_in_bounds")
-        return inv[:w_out]
-
-    sel = jax.lax.cond(n_active > w_out, select_sorted, select_prefix)
-
-    # two row gathers move the whole state (TPU gather cost is per-index)
+    # row gathers move the whole state (TPU gather cost is per-index)
     frows = jnp.stack([
         state.origin.x, state.origin.y, state.origin.z,
         state.direction.x, state.direction.y, state.direction.z,
         state.t, state.bu, state.bv,
         state.throughput.x, state.throughput.y, state.throughput.z,
-        state.prev_pdf], axis=-1)[sel]
+        state.prev_pdf,
+        state.color.x, state.color.y, state.color.z], axis=-1)[sel]
     irows = jnp.stack([state.slot, state.bounces_used,
                        state.active.astype(jnp.int32),
                        state.lidx, state.gid], axis=-1)[sel]
+    # dropped lanes: retired radiance rows, deposited by the caller
+    sel_drop = perm[w_out:]
+    drop_lidx = state.lidx[sel_drop]
+    drop_color = jnp.stack([state.color.x, state.color.y,
+                            state.color.z], axis=-1)[sel_drop]
     new_active = irows[:, 2] > 0
     scale = jnp.where(n_active > w_out,
                       n_active.astype(jnp.float32) / jnp.float32(w_out), 1.0)
     rr_dropped = jnp.maximum(n_active - w_out, 0).astype(jnp.float32)
     thr = V3(frows[:, 9], frows[:, 10], frows[:, 11]) * scale
-    zero = jnp.zeros(w_out, jnp.float32)
     return PathState(
         origin=V3(frows[:, 0], frows[:, 1], frows[:, 2]),
         direction=V3(frows[:, 3], frows[:, 4], frows[:, 5]),
         t=frows[:, 6], slot=irows[:, 0], bu=frows[:, 7], bv=frows[:, 8],
-        throughput=thr, color=V3(zero, zero, zero),
+        throughput=thr,
+        color=V3(frows[:, 13], frows[:, 14], frows[:, 15]),
         bounces_used=irows[:, 1], active=new_active,
         prev_pdf=frows[:, 12], lidx=irows[:, 3], gid=irows[:, 4]
-    ), acc, rr_dropped
+    ), (drop_lidx, drop_color), rr_dropped
 
 
 def _sort_state(scene, state: PathState) -> PathState:
@@ -579,20 +568,28 @@ def trace_paths(scene, cfg: RenderConfig, meta, origin: V3, direction: V3,
         else:
             c = state.color
     else:
-        acc = jnp.zeros((n, 3), jnp.float32)
+        drops = []
         per_groups = []
         it0 = 0
         for w, count in _compact_groups(cfg, n):
             if w < state.lidx.shape[0]:
-                state, acc, dropped = _compact(state, acc, key, it0, w)
+                state, drop, dropped = _compact(state, key, it0, w)
+                drops.append(drop)
                 rr_lanes = rr_lanes + dropped
             state, per_g = jax.lax.scan(body, state,
                                         jnp.arange(it0, it0 + count))
             per_groups.append(per_g)
             it0 += count
-        acc = acc.at[state.lidx].add(
-            jnp.stack([state.color.x, state.color.y, state.color.z], -1),
-            unique_indices=True, mode="promise_in_bounds")
+        # deferred deposits: drops + final survivors partition the lanes,
+        # so ONE scatter-set writes every framebuffer lane exactly once
+        all_idx = jnp.concatenate(
+            [d[0] for d in drops] + [state.lidx])
+        all_col = jnp.concatenate(
+            [d[1] for d in drops]
+            + [jnp.stack([state.color.x, state.color.y, state.color.z],
+                         -1)])
+        acc = jnp.zeros((n, 3), jnp.float32).at[all_idx].set(
+            all_col, unique_indices=True, mode="promise_in_bounds")
         c = V3(acc[:, 0], acc[:, 1], acc[:, 2])
         per_it = jax.tree.map(lambda *xs: jnp.concatenate(xs), *per_groups)
 
@@ -693,7 +690,7 @@ def trace_paths_batched(scene, cfg: RenderConfig, meta, origin: V3,
     dy = direction.y.reshape(k_samples, n_per)
     dz = direction.z.reshape(k_samples, n_per)
 
-    def phase_a(acc, k):
+    def phase_a(_, k):
         o = V3(ox[k], oy[k], oz[k])
         d = V3(dx[k], dy[k], dz[k])
         skey = jax.random.fold_in(batch_key, k)
@@ -712,11 +709,13 @@ def trace_paths_batched(scene, cfg: RenderConfig, meta, origin: V3,
             gid=jnp.arange(n_per, dtype=jnp.int32))
         rr = jnp.float32(0.0)
         per_a = []
+        drops_a = []
         it0 = 0
         body = body_scalar_key(skey)
         for w, count in groups_a:
             if w < state.lidx.shape[0]:
-                state, acc, dropped = _compact(state, acc, skey, it0, w)
+                state, drop, dropped = _compact(state, skey, it0, w)
+                drops_a.append(drop)
                 rr = rr + dropped
             state, per_g = jax.lax.scan(body, state,
                                         jnp.arange(it0, it0 + count))
@@ -731,18 +730,20 @@ def trace_paths_batched(scene, cfg: RenderConfig, meta, origin: V3,
         if groups_b:
             w_b = -(-groups_b[0][0] // k_samples)
             if w_b < state.lidx.shape[0]:
-                state, acc, dropped = _compact(state, acc, skey, it0, w_b)
+                state, drop, dropped = _compact(state, skey, it0, w_b)
+                drops_a.append(drop)
                 rr = rr + dropped
         # globalize gid for the merged phase's key_rows lookup
         state = state._replace(gid=k * n_per + state.gid)
-        return acc, (state, per_it, rr)
+        return None, (state, per_it, rr, tuple(drops_a))
 
-    acc = jnp.zeros((n_tot, 3), jnp.float32)
-    acc, (states, per_a, rr_a) = jax.lax.scan(
-        phase_a, acc, jnp.arange(k_samples))
+    _, (states, per_a, rr_a, drops_a) = jax.lax.scan(
+        phase_a, None, jnp.arange(k_samples))
     rr_lanes = jnp.sum(rr_a)
     per_groups = ([jax.tree.map(lambda x: jnp.sum(x, axis=0), per_a)]
                   if per_a is not None else [])
+    # stacked (K, m)/(K, m, 3) drop rows -> flat
+    drops = [(i.reshape(-1), c.reshape(-1, 3)) for i, c in drops_a]
 
     # ---- merge: (K, w_m) stacked planes -> one (K*w_m,) state ----------
     state = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), states)
@@ -760,17 +761,21 @@ def trace_paths_batched(scene, cfg: RenderConfig, meta, origin: V3,
     it0 = its_a
     for w, count in groups_b:
         if w < state.lidx.shape[0]:
-            state, acc, dropped = _compact(state, acc, batch_key, it0, w,
-                                           key_rows=key_rows,
-                                           lanes_per_key=n_per)
+            state, drop, dropped = _compact(state, batch_key, it0, w,
+                                            key_rows=key_rows,
+                                            lanes_per_key=n_per)
+            drops.append(drop)
             rr_lanes = rr_lanes + dropped
         state, per_g = jax.lax.scan(body, state,
                                     jnp.arange(it0, it0 + count))
         per_groups.append(per_g)
         it0 += count
-    acc = acc.at[state.lidx].add(
-        jnp.stack([state.color.x, state.color.y, state.color.z], -1),
-        unique_indices=True, mode="promise_in_bounds")
+    all_idx = jnp.concatenate([d[0] for d in drops] + [state.lidx])
+    all_col = jnp.concatenate(
+        [d[1] for d in drops]
+        + [jnp.stack([state.color.x, state.color.y, state.color.z], -1)])
+    acc = jnp.zeros((n_tot, 3), jnp.float32).at[all_idx].set(
+        all_col, unique_indices=True, mode="promise_in_bounds")
     per_it = jax.tree.map(lambda *xs: jnp.concatenate(xs), *per_groups)
 
     # per-sample radiance clamp, then sum over the batch

@@ -246,7 +246,16 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
             row = panel[buf, :, :]
         else:
             row = panel[:, :]
-        rd = lambda a, b: row[:, a:b]
+        # memoized lane slices: the node branch's 57 positions are a
+        # subset of the leaf branch's 72 (both read row[:, a:a+1] by
+        # static offset), so deduping at trace time guarantees each (8,1)
+        # extract+broadcast is emitted once instead of ~129 times
+        cache = {}
+
+        def rd(a, b):
+            if (a, b) not in cache:
+                cache[(a, b)] = row[:, a:b]
+            return cache[(a, b)]
 
         ncur, nptr = node_advance(cur, ptr, bt, rd, parked, is_node,
                                   cond_skip=cond_skip)

@@ -104,7 +104,7 @@ def main():
 
     launches = {}          # it -> (o, d, active, tmax)
     states = {}            # it -> state before the iteration
-    compacts = []          # (state, acc, it0, w)
+    compacts = []          # (state, it0, w)
 
     # jitted capture: the recording trace_fn stashes the traced launch args
     # and the wrapper returns them, so one compiled call per iteration
@@ -124,14 +124,13 @@ def main():
 
     caps = {}
 
-    acc = jnp.zeros((n, 3), jnp.float32)
     it0 = 0
     groups = _compact_groups(cfg, n)
     for w, count in groups:
         if w < state.lidx.shape[0]:
-            compacts.append((state, acc, it0, w))
-            state, acc, _ = jax.jit(functools.partial(
-                _compact, it=it0, w_out=w))(state, acc, key)
+            compacts.append((state, it0, w))
+            state, _, _ = jax.jit(functools.partial(
+                _compact, it=it0, w_out=w))(state, key)
         for it in range(it0, it0 + count):
             wn = state.lidx.shape[0]
             if wn not in caps:
@@ -199,9 +198,9 @@ def main():
         total_body += t_body
 
     t_compacts = []
-    for (s, a_, i0, w) in compacts:
+    for (s, i0, w) in compacts:
         jit_c = jax.jit(functools.partial(_compact, it=i0, w_out=w))
-        t_compacts.append(timed(jit_c, s, a_, key) * 1e3)
+        t_compacts.append(timed(jit_c, s, key) * 1e3)
 
     jit_full = jax.jit(lambda o, d, k: trace_paths(
         arrays, cfg, meta, o, d, k, return_stats=True))
