@@ -55,8 +55,8 @@ def main():
                        extra_refraction_iters=0, batch_spp=spp,
                        compact=True, wavefront_batch=spp > 1,
                        sort_state=True,
-                       compact_schedule=(1.3, 8, 32, 96, 350,
-                                         1024, 2048, 2048))
+                       compact_schedule=(1.45, 9.5, 40, 128, 512,
+                                         2048, 2048, 2048))
     r = Renderer(scene, cfg)
 
     t0 = time.time()
