@@ -127,10 +127,9 @@ def main():
     scene8 = make_bunny_standin_scene(subdivisions=6)
     print("tris", scene8.num_triangles, "leaf8", flush=True)
     sweep(scene8, "L8", ("hbm", "cond", "condh", "pipe"))
-    scene4 = make_bunny_standin_scene(subdivisions=6, leaf_size=4)
-    print("leaf4 tables:", scene4.device_arrays().pk_nodes.shape,
-          scene4.device_arrays().pk_leaves.shape, flush=True)
-    sweep(scene4, "L4", ("condh",))
+    # leaf_size sweep moved to /tmp-style probes recorded in PERF.md:
+    # leaf4's tables exceed the VMEM budget (16 MiB) and must stream from
+    # HBM (~1.6x), leaf6 fits but costs +8% — leaf 8 stays the default.
 
 
 if __name__ == "__main__":
