@@ -28,12 +28,18 @@ def test_mesh_has_8_devices(mesh):
     assert mesh.devices.size == 8
 
 
-def test_sharded_render_matches_single_device_per_pixel(small_scene, mesh):
+@pytest.mark.parametrize("sort_state", [False, True])
+def test_sharded_render_matches_single_device_per_pixel(small_scene, mesh,
+                                                        sort_state):
     """The sharded step draws the SAME per-pixel RNG streams as the
     single-device renderer (lane-indexed counter RNG, core/rng.py), so the
     8-way sharded render must equal the local render per pixel — a badly
-    broken shard cannot hide in image statistics (round-2 VERDICT item 8)."""
-    cfg = _cfg()
+    broken shard cannot hide in image statistics (round-2 VERDICT item 8).
+    Parametrized over sort_state: the round-4 state-order coherence sort
+    permutes lanes within each shard, and since all per-lane randomness is
+    keyed by the explicit global lane id, per-pixel equality must survive
+    it."""
+    cfg = _cfg(sort_state=sort_state)
     arrays = small_scene.device_arrays()
     cam = CameraState.from_config(small_scene.camera)
     n = cfg.width * cfg.height
