@@ -181,6 +181,70 @@ def test_wavefront_batch_renderer_rr_finite():
     np.testing.assert_allclose(ia.mean(), ib.mean(), rtol=0.1)
 
 
+def test_wavefront_batch_nonpow2_boundary():
+    """batch_spp that does NOT divide the first merged width: K*ceil(w/K)
+    exceeds it, so the pre-merge per-sample shrink is followed by a second
+    compaction at the same iteration index in the merged phase.  Round-4
+    ADVICE item 1: both used RNG stream _RR_STREAM + it with identical
+    per-sample keys/local lane ids, making the two survivor selections
+    deterministically identical and biasing the estimator; the shrink now
+    draws from stream base _RR_STREAM + max_iters.  This test pins the
+    regime (replicating the group split arithmetic) and asserts the
+    estimator stays finite and consistent with the unbatched mean."""
+    from fspt_tpu.core.integrator import _compact_groups, trace_paths_batched
+    from fspt_tpu.core.vec import V3
+    scene = make_test_scene(subdivisions=1, textured=True)
+    arrays, meta = scene.device_arrays(), scene.meta
+    K = 6
+    cfg = dataclasses.replace(
+        RenderConfig(width=SIZE, height=SIZE, bounces=3),
+        compact=True, compact_schedule=(1, 24),
+        wavefront_batch=True, batch_spp=K, wavefront_merge_width=1024)
+    # replicate trace_paths_batched's split: phase A covers widths above
+    # merge_width; the first merged group must not be divisible by K
+    groups = _compact_groups(cfg, N)
+    split = next(i for i, (w, _) in enumerate(groups)
+                 if w <= cfg.wavefront_merge_width)
+    its_a = sum(c for _, c in groups[:split])
+    merged = _compact_groups(cfg, K * N)
+    itx, groups_b = 0, []
+    for w, count in merged:
+        take = max(0, min(count, itx + count - its_a))
+        if take and itx + count > its_a:
+            groups_b.append([w, take])
+        itx += count
+    w_b = -(-groups_b[0][0] // K)
+    assert K * w_b > groups_b[0][0], (
+        "config no longer triggers the double-compact boundary; "
+        f"K={K} w_b={w_b} first merged width={groups_b[0][0]}")
+    base = sample_key(jax.random.key(0), 11)
+    per = []
+    seq = np.zeros((3, N))
+    for k in range(K):
+        kk = jax.random.fold_in(base, k)
+        cam = scene.camera
+        cam_u = stream_uniforms(kk, 0, (4, N))
+        o, d = generate_rays(
+            jnp.asarray(cam.position), jnp.asarray(cam.direction),
+            cam.fov_scale, cam.focal_depth, cam.aperture, (SIZE, SIZE),
+            cam_u)
+        per.append((o, d))
+        seq += _img(trace_paths(arrays, dataclasses.replace(
+            cfg, wavefront_batch=False, batch_spp=1), meta, o, d, kk))
+    cat = lambda f: jnp.concatenate([f(o, d) for o, d in per])
+    O = V3(cat(lambda o, d: o.x), cat(lambda o, d: o.y),
+           cat(lambda o, d: o.z))
+    D = V3(cat(lambda o, d: d.x), cat(lambda o, d: d.y),
+           cat(lambda o, d: d.z))
+    r, st = trace_paths_batched(arrays, cfg, meta, O, D, base, n_per=N,
+                                return_stats=True)
+    img = _img(r)
+    assert float(st.rr_lanes) > 0, "boundary never forced RR — vacuous"
+    assert np.isfinite(img).all()
+    # RR noise on the secondary-bounce share of a 4096-lane x6 batch
+    np.testing.assert_allclose(img.mean(), seq.mean(), rtol=0.08)
+
+
 def test_sort_state_exact():
     """State-sort mode (cfg.sort_state: permute the path state into Morton
     order each iteration instead of sorting every launch) must reproduce
@@ -197,6 +261,30 @@ def test_sort_state_exact():
         aA = _img(trace_paths(arrays, cA, meta, o, d, key))
         aB = _img(trace_paths(arrays, cB, meta, o, d, key))
         np.testing.assert_allclose(aA, aB, atol=2e-5)
+
+
+def test_nearest_env_statistical_parity():
+    """nee_env_nearest + escape_env_nearest (round-5 shading-gather
+    fusion) swap bilinear env filtering for nearest-texel on NEE and
+    scatter-escape lookups — a different but equally consistent MC target
+    (the nearest-filtered env), so images must agree statistically, not
+    bitwise: multi-sample means within the filtering difference of the
+    smooth test sky."""
+    scene = make_test_scene(subdivisions=1, textured=True, env="sky")
+    arrays, meta = scene.device_arrays(), scene.meta
+    cfgA = RenderConfig(width=SIZE, height=SIZE, bounces=3)
+    cfgB = dataclasses.replace(cfgA, nee_env_nearest=True,
+                               escape_env_nearest=True)
+    mA = np.zeros(3)
+    mB = np.zeros(3)
+    for s in range(4):
+        o, d, key = _rays(scene, s)
+        a = _img(trace_paths(arrays, cfgA, meta, o, d, key))
+        b = _img(trace_paths(arrays, cfgB, meta, o, d, key))
+        assert np.isfinite(b).all()
+        mA += a.mean(axis=1)
+        mB += b.mean(axis=1)
+    np.testing.assert_allclose(mB, mA, rtol=0.02)
 
 
 def test_packed_textures_parity():
