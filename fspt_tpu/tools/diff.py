@@ -64,6 +64,26 @@ def diff_image(a: np.ndarray, b: np.ndarray, mode: str = "rg",
     return np.clip(np.abs(a - b) * gain, 0.0, 1.0)
 
 
+def expr_image(a: np.ndarray, b: np.ndarray, expr: str,
+               gain: float = 1.0) -> np.ndarray:
+    """User-editable comparison expression — the scriptable analog of the
+    reference's editable diff shader (reference tools/image_tool.js:46-119,
+    default shader tools/index.html:27-41).  `expr` is a NumPy expression
+    over (H, W, 3) float arrays `a` and `b` (plus `np`), e.g.
+    "abs(a - b)" or "np.stack([a[...,0], b[...,0], 0*a[...,0]], -1)".
+    Same trust model as the reference (the user supplies the code)."""
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    out = eval(expr, {"np": np, "abs": np.abs}, {"a": a, "b": b})
+    out = np.asarray(out, np.float32)
+    if out.ndim == 2:                       # scalar field -> grayscale
+        out = np.repeat(out[..., None], 3, axis=-1)
+    if out.shape != a.shape:
+        raise ValueError(f"expr produced shape {out.shape}; "
+                         f"expected {a.shape} or {a.shape[:2]}")
+    return np.clip(out * gain, 0.0, 1.0)
+
+
 def main(argv: Optional[list] = None) -> int:
     import argparse
     import json
@@ -76,6 +96,10 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("b")
     p.add_argument("-o", "--out", help="write diff visualization PNG")
     p.add_argument("--mode", choices=["rg", "abs"], default="abs")
+    p.add_argument("--expr", default=None,
+                   help="custom NumPy comparison expression over images "
+                        "`a` and `b`, e.g. 'abs(a-b)' (overrides --mode; "
+                        "the reference's editable diff shader)")
     p.add_argument("--gain", type=float, default=4.0)
     p.add_argument("--max-rmse", type=float, default=None,
                    help="exit nonzero if RMSE exceeds this")
@@ -86,7 +110,11 @@ def main(argv: Optional[list] = None) -> int:
     res = compare(a, b)
     print(json.dumps(res.as_dict()))
     if args.out:
-        write_png(args.out, diff_image(a, b, mode=args.mode, gain=args.gain))
+        if args.expr:
+            vis = expr_image(a, b, args.expr, gain=args.gain)
+        else:
+            vis = diff_image(a, b, mode=args.mode, gain=args.gain)
+        write_png(args.out, vis)
     if args.max_rmse is not None and res.rmse > args.max_rmse:
         return 1
     return 0

@@ -30,6 +30,41 @@ def test_diff_metrics_known_offset():
     np.testing.assert_allclose(d, 0.5, rtol=1e-6)
 
 
+def test_diff_expr():
+    """User-editable comparison expression (reference tools/image_tool.js
+    editable shader parity): arbitrary NumPy expressions over a and b,
+    grayscale broadcast, shape validation."""
+    from fspt_tpu.tools.diff import expr_image
+    a = np.full((4, 4, 3), 0.5, np.float32)
+    b = np.full((4, 4, 3), 0.2, np.float32)
+    np.testing.assert_allclose(expr_image(a, b, "abs(a - b)"), 0.3,
+                               rtol=1e-6)
+    # the reference's default shader: tex1.r -> R, tex2.r -> G
+    rg = expr_image(a, b, "np.stack([a[...,0], b[...,0], 0*a[...,0]], -1)")
+    np.testing.assert_allclose(rg[..., 0], 0.5, rtol=1e-6)
+    np.testing.assert_allclose(rg[..., 1], 0.2, rtol=1e-6)
+    # scalar field -> grayscale
+    g = expr_image(a, b, "(a - b).sum(-1)", gain=0.5)
+    assert g.shape == (4, 4, 3)
+    np.testing.assert_allclose(g, 0.45, rtol=1e-6)
+    with pytest.raises(ValueError):
+        expr_image(a, b, "a[0]")
+
+
+def test_diff_cli_expr(tmp_path):
+    from fspt_tpu.io.image import read_png, write_png
+    from fspt_tpu.tools.diff import main
+    a = tmp_path / "a.png"
+    b = tmp_path / "b.png"
+    out = tmp_path / "d.png"
+    write_png(str(a), np.full((8, 8, 3), 0.75))
+    write_png(str(b), np.full((8, 8, 3), 0.25))
+    rc = main([str(a), str(b), "-o", str(out), "--expr", "a - b",
+               "--gain", "1.0"])
+    assert rc == 0
+    np.testing.assert_allclose(read_png(str(out)), 0.5, atol=2 / 255)
+
+
 def test_diff_cli(tmp_path):
     from fspt_tpu.io.image import write_png
     from fspt_tpu.tools.diff import main
