@@ -61,6 +61,36 @@ def test_real_textures_packed(scene):
     assert rgb.std() > 0.01
 
 
+def test_real_scene_production_config(scene):
+    """Production-config quality gate on the REAL-asset scene (round-4
+    VERDICT item 7): the plain estimator (sample-exact vs the NumPy
+    oracle) lays down a 128^2 image of scenes/dungeon.json; the production
+    path (compaction + RR tail schedule + cross-sample wavefront batching
+    + state-order sorting — the bench/CLI configuration) must agree within
+    Monte-Carlo bounds, so perf work cannot silently bias the one scene
+    built from real reference assets (/root/reference/asset_packs/)."""
+    import dataclasses
+    cfg_plain = RenderConfig(width=128, height=128, bounces=4,
+                             extra_refraction_iters=2, batch_spp=4, seed=7)
+    r = Renderer(scene, cfg_plain)
+    r.step(4)                                    # 16 spp
+    plain = r.hdr_image()
+    assert np.isfinite(plain).all()
+    cfg_prod = dataclasses.replace(
+        cfg_plain, compact=True, compact_schedule=(1.3, 16),
+        wavefront_batch=True, sort_state=True)
+    rp = Renderer(scene, cfg_prod)
+    rp.step(4)
+    prod = rp.hdr_image()
+    assert np.isfinite(prod).all()
+    p_mean = plain.mean()
+    assert abs(prod.mean() - p_mean) / p_mean < 0.02, (prod.mean(), p_mean)
+    blocks_a = plain.reshape(8, 16, 8, 16, 3).mean(axis=(1, 3, 4))
+    blocks_b = prod.reshape(8, 16, 8, 16, 3).mean(axis=(1, 3, 4))
+    rel = np.abs(blocks_b - blocks_a) / np.maximum(blocks_a, 1e-2)
+    assert rel.max() < 0.15, f"block drift {rel.max():.3f}"
+
+
 def test_real_scene_renders(scene):
     cfg = RenderConfig(width=32, height=32, bounces=3,
                        extra_refraction_iters=2, batch_spp=4, seed=7)
