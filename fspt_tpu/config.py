@@ -67,8 +67,13 @@ class RenderConfig:
     epsilon: float = 1.0e-6        # reference tracer.fs:11 EPSILON
     stack_depth: int = 64          # traversal stack bound (tracer.fs:368)
     # Engine selection for intersection:
+    #   "split"  - Pallas phase-split multiwalk kernel (ops/traverse4.py):
+    #              node-descent and leaf-MT substeps run in separate
+    #              bursts so each serial visit pays only its own vector
+    #              code path (~uses traverse3 automatically for scenes
+    #              whose tables exceed VMEM)
     #   "walk"   - Pallas multiwalk kernel (ops/traverse3.py): 8 vectorized
-    #              128-ray walks per program, the default
+    #              128-ray walks per program, fused node+leaf substeps
     #   "packet" - Pallas 1024-ray packet kernel (ops/traverse.py)
     #   "brute"  - O(N*T) oracle, tests only
     intersector: str = "walk"
@@ -124,6 +129,23 @@ class RenderConfig:
     # falls back to per-map fetches when the combined table would exceed
     # the in-module memory guard.
     packed_textures: bool = True
+    # Shading-gather fusion (round-5; PERF.md lever 1).  TPU gather cost is
+    # per-index, and env lookups are 4 of the ~8 row gathers each shading
+    # iteration pays:
+    #   nee_env_nearest    — fetch the NEE radiance at the very texel the
+    #       bin sampler drew (one gather, fused into the sample; no
+    #       direction->equirect inverse) instead of bilinear at the
+    #       reconstructed direction (two gathers).  A consistent MC
+    #       estimator either way (radiance evaluated where the pdf lives);
+    #       default off for bilinear parity with the reference
+    #       (tracer.fs:504), on in bench/CLI.
+    #   escape_env_nearest — nearest-texel env radiance for scatter-ray
+    #       escapes (one gather vs two).  Secondary-bounce escapes land on
+    #       rough-path carriers where filtering is visually irrelevant;
+    #       primary-miss backgrounds (the visible sky) stay bilinear
+    #       unconditionally.
+    nee_env_nearest: bool = False
+    escape_env_nearest: bool = False
     # Trace occlusion rays (env + light NEE shadows) in their own any-hit
     # launch instead of batching them into the nearest-hit scatter launch.
     # Measured on v5e (bunny bench): does NOT pay — 4.25 vs 4.30 Mrays/s

@@ -93,6 +93,55 @@ def env_radiance_rows(env6, hw, direction: V3, theta) -> V3:
     return V3(out[:, 0], out[:, 1], out[:, 2])
 
 
+def env_radiance_rows_nearest(env6, hw, direction: V3, theta) -> V3:
+    """Nearest-texel radiance from the pack_env_rows table: ONE row gather
+    (vs bilinear's two).  TPU gather cost is per-index (PERF.md), and
+    secondary-bounce env lookups land on rough-surface paths where the
+    filtering mode is visually irrelevant — the production config
+    (cfg.escape_env_nearest) uses this for scatter-ray escape radiance
+    while primary-miss backgrounds stay bilinear."""
+    h, w = hw
+    u, v = env_uv(direction, theta)
+    x = jnp.mod(jnp.round(u * w - 0.5).astype(jnp.int32), w)
+    y = jnp.clip(jnp.round(v * h - 0.5).astype(jnp.int32), 0, h - 1)
+    r = env6[y * w + x]
+    return V3(r[:, 0], r[:, 1], r[:, 2])
+
+
+def sample_env_bins_radiance(bins, env6, n_bins, env_hw, theta,
+                             u1, u2, u3):
+    """sample_env_bins fused with the sampled texel's radiance: the bin
+    draw already knows the continuous image point (px, py) it sampled, so
+    the NEE radiance is ONE nearest row gather on the pack_env_rows table
+    — no direction->equirect inverse (atan2/asin) and one gather instead
+    of bilinear's two (round-5 shading-gather fusion, PERF.md lever 1).
+    Consistent MC estimator: radiance is evaluated at the very texel the
+    pdf describes.  Returns (dir V3, pdf, radiance V3)."""
+    h, w = env_hw
+    nb = n_bins.astype(jnp.float32)
+    idx = jnp.clip((nb * u1).astype(jnp.int32), 0, n_bins - 1)
+    b = bins[idx]
+    x0 = b[:, 0]
+    y0 = b[:, 1]
+    bw = b[:, 2] - x0
+    bh = b[:, 3] - y0
+    px = bw * u2 + x0
+    py = bh * u3 + y0
+    u = (-theta) + px / w
+    v = py / h
+    th = u * M_TAU
+    phi = v * M_PI
+    sin_phi = jnp.sin(phi)
+    direction = V3(jnp.cos(th) * sin_phi, jnp.cos(phi),
+                   jnp.sin(th) * sin_phi)
+    nominal = (w * h) / nb
+    pdf = nominal / jnp.maximum(bw * bh * M_TAU * M_PI * sin_phi, 1e-12)
+    xi = jnp.mod(px.astype(jnp.int32), w)
+    yi = jnp.clip(py.astype(jnp.int32), 0, h - 1)
+    r = env6[yi * w + xi]
+    return direction, pdf, V3(r[:, 0], r[:, 1], r[:, 2])
+
+
 def env_uv(direction: V3, theta):
     """Equirect direction -> uv (tracer.fs:416-418):
     u = theta + atan2(z, x) / tau  (wraps),  v = asin(-y)/pi + 0.5."""

@@ -211,6 +211,44 @@ def test_env_bin_sample_pdf_consistency():
     assert abs(est - 4 * np.pi) / (4 * np.pi) < 0.02, est
 
 
+def test_env_bin_sample_radiance_fused():
+    """sample_env_bins_radiance (round-5 shading-gather fusion) must draw
+    bit-identical directions/pdfs to sample_env_bins and return exactly
+    the env radiance of the texel containing the sampled image point."""
+    import jax
+    import jax.numpy as jnp
+    from fspt_tpu.core.env import (pack_env_rows, sample_env_bins,
+                                   sample_env_bins_radiance)
+    from fspt_tpu.core.vec import V3
+    scene = make_test_scene(subdivisions=1, env="sky")
+    a = scene.arrays
+    h, w = scene.meta.env_h, scene.meta.env_w
+    bins4 = jnp.stack([a.bin_x0, a.bin_y0, a.bin_x1, a.bin_y1], axis=-1)
+    env6 = pack_env_rows(a.env_rgb, (h, w))
+    m = 4096
+    k = jax.random.key(5)
+    u1, u2, u3 = jax.random.uniform(k, (3, m))
+    d0, p0 = sample_env_bins(bins4, a.n_bins, (h, w), a.env_theta,
+                             u1, u2, u3)
+    d1, p1, rad = sample_env_bins_radiance(bins4, env6, a.n_bins, (h, w),
+                                           a.env_theta, u1, u2, u3)
+    for c0, c1 in zip((d0.x, d0.y, d0.z, p0), (d1.x, d1.y, d1.z, p1)):
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    # reconstruct the sampled texel on the host and compare radiance
+    nb = int(a.n_bins)
+    idx = np.clip((nb * np.asarray(u1)).astype(np.int32), 0, nb - 1)
+    b = np.asarray(bins4)[idx]
+    px = (b[:, 2] - b[:, 0]) * np.asarray(u2) + b[:, 0]
+    py = (b[:, 3] - b[:, 1]) * np.asarray(u3) + b[:, 1]
+    xi = np.mod(px.astype(np.int32), w)
+    yi = np.clip(py.astype(np.int32), 0, h - 1)
+    flat = yi * w + xi
+    np.testing.assert_allclose(np.asarray(rad.x),
+                               np.asarray(a.env_rgb.x)[flat], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(rad.z),
+                               np.asarray(a.env_rgb.z)[flat], rtol=1e-6)
+
+
 def _chi2_stat(counts, probs):
     n = counts.sum()
     expected = probs * n
