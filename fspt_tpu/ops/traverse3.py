@@ -66,7 +66,8 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
                  panel, stack, walk_state, *extra,
                  leaf_size: int, any_hit: bool, stack_depth: int,
                  table_rows: int, unroll: int, stage: str,
-                 walks: int = WALKS, tree_width: int = 8):
+                 walks: int = WALKS, tree_width: int = 8,
+                 lane_counts: bool = False):
     dma_sems = table_vmem = hbm_sem = None
     if stage == "dma":
         (dma_sems,) = extra
@@ -140,10 +141,24 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
         links = [rd(6 * tw + c, 6 * tw + c + 1) for c in range(tw)]
 
         def compute_wants():
+            # ONE cross-lane reduction per 4 children instead of one per
+            # child: pack each child's hit mask into an 8-bit field (lane
+            # counts <= 128 fit), sum across lanes once, then unpack the
+            # per-child any-votes from the field counts.  The per-child
+            # lane reductions were the critical path of the whole substep
+            # (scripts/perf_r5d.py: the slab+vote+stack chain is ~1.18 us
+            # of the 1.24 us substep while fetch+MT hide beneath it).
+            packs = []
+            for group in range(0, tw, 4):
+                acc = None
+                for c in range(group, min(group + 4, tw)):
+                    m = child_box(c).astype(jnp.int32) << (8 * (c - group))
+                    acc = m if acc is None else acc + m
+                packs.append(jnp.sum(acc, axis=1, keepdims=True))
             out = []
             for c in range(tw):
-                any_c = (jnp.sum(child_box(c).astype(jnp.float32), axis=1,
-                                 keepdims=True) > 0.0).astype(jnp.int32)
+                cnt = (packs[c // 4] >> (8 * (c % 4))) & 255
+                any_c = (cnt > 0).astype(jnp.int32)
                 valid_c = (links[c] > -1.0e8).astype(jnp.int32)
                 out.append(any_c * valid_c * is_node)
             return tuple(out)
@@ -347,12 +362,33 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
             return (tmax >= tmin) & (tmax > 0.0) & (tmin < bt)
 
         links = [rd(6 * tw + c, 6 * tw + c + 1) for c in range(tw)]
+        # packed votes: one cross-lane reduction per 4 children (8-bit
+        # count fields) instead of one per child — the per-child lane
+        # reductions were the substep's critical path (perf_r5d.py)
+        packs = []
+        boxes = []
+        for group in range(0, tw, 4):
+            acc = None
+            for c in range(group, min(group + 4, tw)):
+                box_c = child_box(c)
+                boxes.append(box_c)
+                m = box_c.astype(jnp.int32) << (8 * (c - group))
+                acc = m if acc is None else acc + m
+            packs.append(jnp.sum(acc, axis=1, keepdims=True))
         wants = []
+        lane_want = None
         for c in range(tw):
-            any_c = (jnp.sum(child_box(c).astype(jnp.float32), axis=1,
-                             keepdims=True) > 0.0).astype(jnp.int32)
+            cnt = (packs[c // 4] >> (8 * (c % 4))) & 255
+            any_c = (cnt > 0).astype(jnp.int32)
             valid_c = (links[c] > -1.0e8).astype(jnp.int32)
             wants.append(any_c * valid_c * is_node)
+            if lane_counts:
+                # per-LANE wanted-child tally: restores the reference
+                # heatmap's per-pixel granularity (bvh_test.fs:224-232) —
+                # each lane counts the nodes ITS ray would visit, not the
+                # walk's shared fetch count
+                w_c = boxes[c].astype(jnp.int32) * (valid_c * is_node)
+                lane_want = w_c if lane_want is None else lane_want + w_c
 
         axis = rd(7 * tw, 7 * tw + 1)
         fwd = jnp.where(axis == 0.0, sx, jnp.where(axis == 1.0, sy, sz))
@@ -414,7 +450,10 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
                            axis=1, keepdims=True) >= float(LANES)
             ncur = jnp.where(done, SENTINEL, ncur)
             nptr = jnp.where(done, 0, nptr)
-        vis = vis + (1 - parked)
+        if lane_counts:
+            vis = vis + lane_want
+        else:
+            vis = vis + (1 - parked)
         return ncur, nptr, bt, bs, bu, bv, vis
 
     # Runaway backstop: a correct walk can visit each unique node at most
@@ -430,26 +469,32 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
         st = (walk_state[0:walks, 0:1].astype(jnp.int32),
               walk_state[walks:2 * walks, 0:1].astype(jnp.int32),
               t_ref[0], slot_ref[0], u_ref[0], v_ref[0],
-              visits_ref[0][:, 0:1])
+              visits_ref[0] if lane_counts else visits_ref[0][:, 0:1])
         for j in range(unroll):
             st = substep_pipe(st, j) if pipelined else substep(st)
         cur, ptr, bt, bs, bu, bv, vis = st
         walk_state[0:walks, :] = lanes(cur)
         walk_state[walks:2 * walks, :] = lanes(ptr)
-        visits_ref[0] = lanes(vis)
+        visits_ref[0] = vis if lane_counts else lanes(vis)
         t_ref[0] = bt
         slot_ref[0] = bs
         u_ref[0] = bu
         v_ref[0] = bv
-        # one fused cross-lane reduction per `unroll` visits
+        # one fused cross-lane reduction per `unroll` visits.  In
+        # lane-count mode the backstop watches the max lane tally (lane
+        # counts are <= the walk's shared fetch count, so the bound holds).
+        vis_top = (jnp.max(vis, axis=1, keepdims=True) if lane_counts
+                   else vis)
         keep = lanes((cur != SENTINEL).astype(jnp.int32)
-                     * (vis < max_steps).astype(jnp.int32))
+                     * (vis_top < max_steps).astype(jnp.int32))
         return jnp.sum(keep)
 
     ione = lambda v: jnp.full((walks, LANES), v, jnp.int32)
     walk_state[0:walks, :] = ione(0)           # cur = root
     walk_state[walks:2 * walks, :] = ione(1)   # ptr = 1
-    visits_ref[0] = ione(0)
+    # lane-count mode seeds 1: every ray visits the root (bvh_test.fs
+    # counts the root pop for every pixel)
+    visits_ref[0] = ione(1 if lane_counts else 0)
     t_ref[0] = t_init
     slot_ref[0] = jnp.full((walks, LANES), -1, jnp.int32)
     u_ref[0] = jnp.zeros((walks, LANES), jnp.float32)
@@ -476,14 +521,16 @@ def _walk_kernel(n_nodes_ref, table_ref, rays_ref,
 @functools.partial(jax.jit, static_argnames=("leaf_size", "any_hit",
                                              "stack_depth", "interpret",
                                              "unroll", "stage", "walks",
-                                             "tree_width", "table_hbm"))
+                                             "tree_width", "table_hbm",
+                                             "lane_counts"))
 def packet_traverse3(nodes, leaves, origin: V3, direction: V3, tmax=None, *,
                      leaf_size: int = 8, any_hit: bool = False,
                      stack_depth: int = 64,
                      interpret: bool = False,
                      unroll: int = 4, stage: str = "pipe",
                      walks: int = WALKS, tree_width: int = 8,
-                     table_hbm: bool = False) -> PacketHit:
+                     table_hbm: bool = False,
+                     lane_counts: bool = False) -> PacketHit:
     """v3 multiwalk traversal: same contract as ops/traverse.packet_traverse
     (visits are per-128-ray walk rather than per-1024-ray packet).
 
@@ -497,6 +544,11 @@ def packet_traverse3(nodes, leaves, origin: V3, direction: V3, tmax=None, *,
     directly per field; "pipe"/"dma"/"cond"/"condh" are the round-4
     software-pipelined variants (fetch issued between node-advance and
     leaf tests; see substep_pipe).
+    lane_counts: visits output reports PER-LANE wanted-node tallies (the
+    count of nodes each lane's own ray wants, root included) instead of
+    the walk's shared fetch count — restores the reference heatmap's
+    per-pixel granularity (bvh_test.fs:224-232).  Forces the plain
+    "value" stage.
     table_hbm: big-scene mode — the packed node+leaf table stays in HBM
     (no VMEM residency, no size budget) and every visit's rows arrive via
     the double-buffered async DMA of the "dma" stage, overlapped with the
@@ -508,6 +560,10 @@ def packet_traverse3(nodes, leaves, origin: V3, direction: V3, tmax=None, *,
         stage = "dma"
     else:
         check_vmem_budget(nodes, leaves)
+    if lane_counts:
+        if table_hbm:
+            raise ValueError("lane_counts is a VMEM-table diagnostic")
+        stage = "value"
     if stage == "dma" and unroll % 2 != 0:
         raise ValueError("stage='dma' double-buffers the fetch panel per "
                          "substep; unroll must be even so every while-loop "
@@ -542,7 +598,8 @@ def packet_traverse3(nodes, leaves, origin: V3, direction: V3, tmax=None, *,
                                any_hit=any_hit, stack_depth=stack_depth,
                                table_rows=int(table.shape[0]),
                                unroll=unroll, stage=stage, walks=walks,
-                               tree_width=tree_width)
+                               tree_width=tree_width,
+                               lane_counts=lane_counts)
     out_block = pl.BlockSpec((1, walks, LANES), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((npg, walks, LANES), jnp.float32)

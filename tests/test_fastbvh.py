@@ -188,6 +188,66 @@ def test_width16_pack_traverse_hit_parity(rng):
                                   np.asarray(hits[16].slot))
 
 
+def test_split_kernel_hit_parity(rng):
+    """The v4 phase-split walk kernel (ops/traverse4.py) must find the
+    same nearest hits (t, slot, u, v) as the v3 fused kernel — the phase
+    split reorders leaf tests but every wanted leaf is still tested, so
+    results are identical up to coplanar ties.  Also covers any_hit
+    early-exit semantics."""
+    import jax.numpy as jnp
+    from fspt_tpu.core.vec import V3
+    from fspt_tpu.ops import packing
+    from fspt_tpu.ops.traverse3 import packet_traverse3
+    from fspt_tpu.ops.traverse4 import packet_traverse4
+
+    verts = _random_tris(800, rng)
+    tmin, tmax = triangle_aabbs(verts)
+    bvh = build_bvh_fast(tmin, tmax, leaf_size=8)
+    gather = np.where(bvh.slot_tri < 0, 0, bvh.slot_tri)
+    v = verts[gather]
+    v[bvh.slot_tri < 0] = 0.0
+    tri_v0, tri_e1, tri_e2 = v[:, 0], v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]
+    pk = packing.pack_bvh(bvh.left, bvh.right, bvh.tri_offset,
+                          bvh.node_min, bvh.node_max,
+                          tri_v0, tri_e1, tri_e2, leaf_size=8, width=8)
+    nodes = jnp.asarray(pk.nodes)
+    leaves = jnp.asarray(pk.leaves)
+
+    n = 2048
+    origin = rng.uniform(-2, 2, size=(3, n)).astype(np.float32)
+    d = rng.normal(size=(3, n)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    O = V3(*(jnp.asarray(x) for x in origin))
+    D = V3(*(jnp.asarray(x) for x in d))
+    sd = 8 * (pk.depth + 2)
+
+    h3 = packet_traverse3(nodes, leaves, O, D, leaf_size=8,
+                          stack_depth=sd, interpret=True)
+    h4 = packet_traverse4(nodes, leaves, O, D, leaf_size=8,
+                          stack_depth=sd, interpret=True)
+    np.testing.assert_allclose(np.asarray(h3.t), np.asarray(h4.t),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(h3.slot), np.asarray(h4.slot))
+    np.testing.assert_allclose(np.asarray(h3.u), np.asarray(h4.u),
+                               rtol=1e-4, atol=1e-5)
+    # any-hit: both kernels must agree on WHETHER each ray is occluded
+    a3 = packet_traverse3(nodes, leaves, O, D, leaf_size=8,
+                          stack_depth=sd, any_hit=True, interpret=True)
+    a4 = packet_traverse4(nodes, leaves, O, D, leaf_size=8,
+                          stack_depth=sd, any_hit=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a3.slot) >= 0,
+                                  np.asarray(a4.slot) >= 0)
+    # per-ray tmax clipping parity (shadow-ray path)
+    tm = jnp.asarray(rng.uniform(0.05, 1.5, size=n).astype(np.float32))
+    c3 = packet_traverse3(nodes, leaves, O, D, tm, leaf_size=8,
+                          stack_depth=sd, interpret=True)
+    c4 = packet_traverse4(nodes, leaves, O, D, tm, leaf_size=8,
+                          stack_depth=sd, interpret=True)
+    np.testing.assert_allclose(np.asarray(c3.t), np.asarray(c4.t),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(c3.slot), np.asarray(c4.slot))
+
+
 def test_vmem_budget_guardrail():
     """A scene too large for the VMEM-resident kernel must fail with a
     one-line actionable error, not a Mosaic allocation crash (round-2
