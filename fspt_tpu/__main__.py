@@ -54,7 +54,11 @@ def _build(args):
     cfg = RenderConfig(width=w, height=h, bounces=args.bounces,
                        batch_spp=args.batch_spp, mode=args.mode,
                        seed=args.seed, compact=not args.no_compact,
-                       sort_state=not args.no_compact)
+                       sort_state=not args.no_compact,
+                       intersector=("split" if not args.no_compact
+                                    else "walk"),
+                       nee_env_nearest=not args.no_compact,
+                       escape_env_nearest=not args.no_compact)
     post = None
     if args.denoise or args.exposure is not None:
         post = PostConfig(
@@ -104,11 +108,16 @@ def cmd_animate(args) -> int:
     cfg = RenderConfig(width=w, height=h, bounces=args.bounces,
                        batch_spp=args.batch_spp, seed=args.seed,
                        compact=not args.no_compact,
-                       sort_state=not args.no_compact)
+                       sort_state=not args.no_compact,
+                       intersector=("split" if not args.no_compact
+                                    else "walk"),
+                       nee_env_nearest=not args.no_compact,
+                       escape_env_nearest=not args.no_compact)
     paths = render_animation(
         scene_dict, loader, args.out_dir,
         range(args.start, args.end), config=cfg, samples=args.samples,
-        name=os.path.splitext(os.path.basename(args.scene))[0])
+        name=os.path.splitext(os.path.basename(args.scene))[0],
+        refit=args.refit)
     print("\n".join(paths))
     return 0
 
@@ -162,6 +171,11 @@ def main(argv=None) -> int:
     pa.add_argument("--start", type=int, default=0)
     pa.add_argument("--end", type=int, required=True)
     pa.add_argument("-o", "--out-dir", default="frames")
+    pa.add_argument("--refit", action="store_true",
+                    help="transform-only frames: skip the per-frame host "
+                         "scene rebuild and refit the BVH on-device "
+                         "(scene/refit.py; falls back to rebuild when the "
+                         "scene uses `normalize`)")
     pa.set_defaults(fn=cmd_animate)
 
     pv = sub.add_parser("view", help="interactive fly-through viewer")

@@ -60,6 +60,11 @@ class PackedBVH(NamedTuple):
     depth: int             # wide-tree depth (root = 0); sizes the kernel
     #                        traversal stack: max ptr <= width * (depth + 2)
     width: int = WIDTH     # branching factor (8 or 16)
+    # (W, width) i32: the BINARY node id each wide child slot was collapsed
+    # from (-1 = empty slot).  Consumed by the on-device AABB refit
+    # (scene/refit.py) to rewrite child boxes in place after animation
+    # transforms without a host rebuild.
+    wide_child_bin: np.ndarray = None
 
 
 def _collapse8(left, right, is_leaf, node_min, node_max, width=WIDTH):
@@ -152,6 +157,8 @@ def pack_bvh(node_left, node_right, node_tri, node_min, node_max,
         rows[0, 5 * wd] = node_max[0, 2]
         rows[0, 6 * wd] = -1.0               # leaf 0
         nodes_flat = rows
+        wcb = np.full((1, wd), -1, np.int32)
+        wcb[0, 0] = 0
     else:
         children_of, axis_of, wide_ord, depth = _collapse8(
             node_left, node_right, is_leaf, node_min, node_max, width=wd)
@@ -160,6 +167,7 @@ def pack_bvh(node_left, node_right, node_tri, node_min, node_max,
         rows[:, 0:3 * wd] = BIG              # empty child minima
         rows[:, 3 * wd:6 * wd] = -BIG        # empty child maxima
         rows[:, 6 * wd:7 * wd] = EMPTY_LINK
+        wcb = np.full((w, wd), -1, np.int32)
         for wi, kids in enumerate(children_of):
             for c, k in enumerate(kids):
                 rows[wi, 0 * wd + c] = node_min[k, 0]
@@ -170,6 +178,7 @@ def pack_bvh(node_left, node_right, node_tri, node_min, node_max,
                 rows[wi, 5 * wd + c] = node_max[k, 2]
                 rows[wi, 6 * wd + c] = (-(leaf_ord[k] + 1.0) if is_leaf[k]
                                         else float(wide_ord[k]))
+                wcb[wi, c] = k
             rows[wi, 7 * wd] = float(axis_of[wi])
         nodes_flat = rows
 
@@ -183,4 +192,4 @@ def pack_bvh(node_left, node_right, node_tri, node_min, node_max,
     leaves[:n_leaves, : leaf_size * 9] = tri9.reshape(n_leaves,
                                                       leaf_size * 9)
     return PackedBVH(nodes=nodes_flat, leaves=leaves, depth=depth,
-                     width=wd)
+                     width=wd, wide_child_bin=wcb)

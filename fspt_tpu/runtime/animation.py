@@ -87,23 +87,66 @@ def render_animation(scene_dict: dict, loader, out_dir: str, frames: range,
                      config=None, samples: Optional[int] = None,
                      checkpoint_every: int = 32,
                      on_frame: Optional[Callable] = None,
-                     name: str = "scene") -> list:
-    """Render a frame sequence with per-frame resume.  Returns paths."""
+                     name: str = "scene", refit: bool = False) -> list:
+    """Render a frame sequence with per-frame resume.  Returns paths.
+
+    refit=True: keyframe animation is transform-only (keyframes carry only
+    translate/rotate/scale), so instead of re-parsing and re-building the
+    SAH BVH on the host every frame, the base frame is compiled ONCE and
+    each frame's geometry + BVH boxes are rewritten on-device by a jitted
+    AABB refit (scene/refit.py) — the renderer's compiled step is reused
+    across frames (identical array shapes).  Falls back to the rebuild
+    path for scenes the refit cannot express (`normalize`).
+    """
+    import jax
+
     from fspt_tpu.config import RenderConfig
     from fspt_tpu.runtime.renderer import Renderer
-    from fspt_tpu.scene.schema import load_scene_dict
+    from fspt_tpu.scene.schema import (_prop_defaults, load_scene_dict,
+                                       merge_scene_props)
 
     os.makedirs(out_dir, exist_ok=True)
     cfg = config or RenderConfig()
     paths = []
+
+    refit_ctx = None
+    if refit:
+        from fspt_tpu.scene.refit import (build_refit_aux, delta_affines,
+                                          refit_arrays)
+        base_frame = frames[0] if len(frames) else 0
+        base_sd = scene_for_frame(scene_dict, base_frame)
+        base_scene = load_scene_dict(base_sd, loader, name=f"{name}_base")
+        try:
+            aux = build_refit_aux(base_scene)
+        except ValueError:
+            refit = False
+        else:
+            base_props = [_prop_defaults(p)
+                          for p in merge_scene_props(base_sd)]
+            wt = scene_dict.get("worldTransforms")
+            renderer = Renderer(base_scene, cfg)
+            base_arrays = renderer.arrays
+            jit_refit = jax.jit(
+                lambda m, t: refit_arrays(base_arrays, base_scene.meta,
+                                          aux, m, t))
+            refit_ctx = (base_scene, base_props, wt, renderer, jit_refit)
+
     for frame in frames:
         out_path = os.path.join(out_dir, f"frame_{frame:05d}.png")
         paths.append(out_path)
         if os.path.exists(out_path):
             continue
         sd = scene_for_frame(scene_dict, frame)
-        scene = load_scene_dict(sd, loader, name=f"{name}_f{frame}")
-        r = Renderer(scene, cfg)
+        if refit_ctx is not None:
+            base_scene, base_props, wt, r, jit_refit = refit_ctx
+            fprops = [_prop_defaults(p) for p in merge_scene_props(sd)]
+            mats, trans = delta_affines(base_props, fprops, wt)
+            r.arrays = jit_refit(mats, trans)
+            r.reset()
+            scene = base_scene
+        else:
+            scene = load_scene_dict(sd, loader, name=f"{name}_f{frame}")
+            r = Renderer(scene, cfg)
         ckpt = os.path.join(out_dir, f"frame_{frame:05d}.ckpt.npz")
         if os.path.exists(ckpt):
             r.load_checkpoint(ckpt)

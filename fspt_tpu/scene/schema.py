@@ -155,6 +155,10 @@ class Scene:
     bvh_depth: int
     leaf_size: int
     name: str = "scene"
+    # host-side build products (slot_tri / tri_prop / wide_child_bin /
+    # normalized flag) consumed by the on-device refit (scene/refit.py);
+    # None for scenes constructed outside load_scene_dict
+    build: Optional[dict] = None
 
     def device_arrays(self, sharding=None):
         import jax
@@ -316,7 +320,8 @@ def load_scene_dict(scene: dict, loader: AssetLoader, leaf_size: int = 8,
     all_groups: List[MeshGroup] = []
     group_mats: List[_ResolvedMaterial] = []
     light_group_ids: List[int] = []
-    for prop in props:
+    prop_of_group: List[int] = []
+    for prop_idx, prop in enumerate(props):
         base_path = os.path.dirname(prop["path"])
         parsed = parse_obj(loader.text(prop["path"]), prop, world_transforms)
         materials: Dict[str, dict] = {}
@@ -331,6 +336,7 @@ def load_scene_dict(scene: dict, loader: AssetLoader, leaf_size: int = 8,
                 light_group_ids.append(len(all_groups))
             all_groups.append(group)
             group_mats.append(mat)
+            prop_of_group.append(prop_idx)
 
     if not all_groups:
         raise ValueError("scene contains no geometry")
@@ -498,9 +504,19 @@ def load_scene_dict(scene: dict, loader: AssetLoader, leaf_size: int = 8,
     )
     post = PostConfig(exposure=float(scene.get("exposure", 1.0)))
 
+    # host-side build products for the on-device animation refit
+    # (scene/refit.py): slot -> original tri, tri -> prop, and the wide
+    # child <- binary-node map the packer collapsed from
+    tri_prop = np.asarray(prop_of_group, np.int32)[group_of_tri]
+    build = {"slot_tri": slot.astype(np.int64),
+             "tri_prop": tri_prop,
+             "wide_child_bin": pk.wide_child_bin,
+             "n_props": len(props),
+             "normalized": bool(scene.get("normalize"))}
+
     return Scene(
         arrays=arrays, meta=meta, camera=camera, post=post,
         samples=int(scene.get("samples", 2000)),
         num_triangles=len(verts), bvh_depth=bvh.depth, leaf_size=leaf_size,
-        name=name,
+        name=name, build=build,
     )
