@@ -54,7 +54,8 @@ def main():
     cfg = RenderConfig(width=size, height=size, bounces=8,
                        extra_refraction_iters=0, batch_spp=spp,
                        compact=True, wavefront_batch=spp > 1,
-                       sort_state=True,
+                       sort_state=True, intersector="split",
+                       nee_env_nearest=True, escape_env_nearest=True,
                        compact_schedule=(1.45, 9.5, 40, 128, 512,
                                          2048, 2048, 2048))
     r = Renderer(scene, cfg)
@@ -89,10 +90,39 @@ def main():
     m = r.step_metrics()
     occ = " ".join(f"{x:.2f}" for x in m["scatter_occupancy"])
     sha = " ".join(f"{x:.2f}" for x in m["shadow_occupancy"])
-    vis = " ".join(f"{x:.0f}" for x in m["visits_per_lane"])
+    vis = " ".join(f"{x:.2f}" for x in m["visits_per_lane"])
     print(f"# per-bounce scatter occupancy: {occ}", file=sys.stderr)
     print(f"# per-bounce shadow  occupancy: {sha}", file=sys.stderr)
     print(f"# per-bounce packet visits/lane: {vis}", file=sys.stderr)
+
+    # ---- hardware-anchored roofline (round-4 VERDICT item 4) -----------
+    # walk-visits: every lane of a 128-ray walk reports the walk's shared
+    # fetch count, so total row fetches = sum(visits)/128; each packed row
+    # is 128 f32 = 512 B.  Shading pays ~6 row gathers per live lane per
+    # iteration (attr 43 + 2x24 packed material + bins 4 + NEE env 6 +
+    # escape env 6 columns, core/integrator).  Program-steps advance 8
+    # walks at once; the pure-VPU floor for a fused slab+MT substep was
+    # measured at ~150 ns (PERF.md roofline), which bounds any refinement
+    # of this traversal decomposition.
+    n = size * size
+    # step_metrics() replays ONE unbatched sample: all figures per sample
+    visits_lane = sum(m["visits_per_lane"]) * n
+    row_fetches = visits_lane / 128.0            # one 512 B row per visit
+    trav_bytes = row_fetches * 512.0
+    live = sum(m["scatter_occupancy"]) * n
+    shade_bytes = live * (43 + 48 + 4 + 6 + 6) * 4.0
+    rays_per_sample = m["rays"]
+    bytes_per_ray = (trav_bytes + shade_bytes) / max(rays_per_sample, 1.0)
+    prog_steps = row_fetches / 8.0
+    floor_ms = prog_steps * 150e-9 * 1e3
+    ms_sample = s["seconds"] / max(s["samples"], 1) * 1e3
+    print(f"# roofline: {bytes_per_ray:.0f} HBM bytes/honest-ray; "
+          f"{prog_steps:.0f} serial program-steps/sample => "
+          f"{floor_ms:.1f} ms at the 150 ns VPU-floor "
+          f"({floor_ms / ms_sample * 100:.0f}% of the "
+          f"{ms_sample:.1f} ms measured sample); "
+          f"ceiling {rays_per_sample / max(floor_ms, 1e-9) * 1e3 / 1e6:.0f}"
+          f" Mrays/s at current visit counts", file=sys.stderr)
     print(f"# per-sample rr_lanes={m['rr_lanes']:.0f} "
           f"(RR-dropped lanes; unbiased reweighting) — "
           f"phase breakdown + roofline: PERF.md / scripts/perf_phase.py",
