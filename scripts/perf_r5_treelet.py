@@ -94,7 +94,7 @@ def frontier_pairs(bvh, o, d, tmax, active, treelet_leaf):
 def dense_mt_kernel(tile_tl_ref, tris_ref, rays_ref, t_ref, slot_ref,
                     panel, *, T: int):
     """One 1024-pair tile vs its treelet's T triangles."""
-    tl = tile_tl_ref[0, 0]
+    tl = tile_tl_ref[pl.program_id(0), 0]
     ox = rays_ref[0, 0]
     oy = rays_ref[0, 1]
     oz = rays_ref[0, 2]
@@ -138,6 +138,7 @@ def main():
     meta = scene.meta
     cfg = RenderConfig(width=512, height=512, bounces=8,
                        extra_refraction_iters=0, compact=True,
+                       intersector="split",
                        compact_schedule=(1.45, 9.5, 40, 128, 512,
                                          2048, 2048, 2048))
     print("capturing bounce-0 launch ...", flush=True)
@@ -206,11 +207,12 @@ def main():
         # ---- E: dense MT at the real tile count ---------------------------
         n_tiles = P // 1024
         # treelet tl's T triangles = production leaf rows
-        # [tl*T/8, (tl+1)*T/8) — the real table, real data
+        # [tl*T/8, (tl+1)*T/8) — the real table, real data (timing
+        # stand-in: treelet count capped to the rows available)
         tri_rows = jnp.asarray(arrays.pk_leaves)
-        assert n_tl * (T // 8) <= tri_rows.shape[0]
+        n_tl_eff = min(n_tl, int(tri_rows.shape[0]) // (T // 8))
         tile_tl = jnp.asarray(np.random.default_rng(2).integers(
-            0, n_tl, (n_tiles, 1), dtype=np.int32))
+            0, n_tl_eff, (n_tiles, 1), dtype=np.int32))
         tile_rays = jnp.asarray(
             np.zeros((n_tiles, 7, 8, 128), np.float32) + 0.5)
         kern = functools.partial(dense_mt_kernel, T=T)
@@ -218,8 +220,7 @@ def main():
             kern,
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec((1, 1), lambda i: (i, 0),
-                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(tri_rows.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 7, 8, 128), lambda i: (i, 0, 0, 0),

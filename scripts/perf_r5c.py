@@ -49,11 +49,10 @@ def main():
         nodes, leaves, so, sd, stm, reps=5)
     print(f"v3 (ship)                    {base * 1e3:8.2f} ms", flush=True)
     for kw in (dict(npop=2, lpop=2),
-               dict(npop=2, lpop=2, drain_t=16),
-               dict(npop=2, lpop=2, drain_t=32),
-               dict(npop=2, lpop=2, unroll=6),
-               dict(npop=2, lpop=3),
-               dict(npop=2, lpop=3, drain_t=24),
+               dict(npop=1, lpop=1, walks=16, qcap=64),
+               dict(npop=1, lpop=2, walks=16, qcap=64),
+               dict(npop=2, lpop=2, walks=16),
+               dict(npop=1, lpop=2, walks=32, qcap=64),
                ):
         t = t4(**kw)
         print(f"v4 {str(kw):57s} {t * 1e3:8.2f} ms", flush=True)
