@@ -51,12 +51,15 @@ def main():
     # 0.01, ...) x the batch: early divisors match the round-3 tuning,
     # tail divisors tighten ~8x because 8 samples' survivors share each
     # 1024-lane packet (PERF.md: bounces 3-7 ran at ~0% occupancy).
+    # schedule: round-5 re-tune under the cheaper traversal (perf_r5f.py:
+    # (1.5, 11, ...) = 89.5 vs 92.1 ms/sample at rr ~1.5% of segments;
+    # tighter still is within noise at 2.6% RR)
     cfg = RenderConfig(width=size, height=size, bounces=8,
                        extra_refraction_iters=0, batch_spp=spp,
                        compact=True, wavefront_batch=spp > 1,
                        sort_state=True, intersector="split",
                        nee_env_nearest=True, escape_env_nearest=True,
-                       compact_schedule=(1.45, 9.5, 40, 128, 512,
+                       compact_schedule=(1.5, 11, 48, 160, 640,
                                          2048, 2048, 2048))
     r = Renderer(scene, cfg)
 

