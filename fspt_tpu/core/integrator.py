@@ -77,7 +77,18 @@ def intersect(scene, cfg: RenderConfig, meta, origin: V3, direction: V3,
         hbm = not tables_fit_vmem(scene.pk_nodes, scene.pk_leaves)
         if cfg.intersector == "split" and not hbm:
             from fspt_tpu.ops.traverse4 import packet_traverse4
-            impl = _ft.partial(packet_traverse4, tree_width=width)
+            # +2*width stack slack: multi-pop (npop=2) can transiently
+            # hold two same-level nodes' children; a push past the static
+            # depth would be silently LOST (one-hot write matches nothing)
+            impl = _ft.partial(packet_traverse4, tree_width=width,
+                               stack_depth=max(cfg.stack_depth,
+                                               meta.pk_stack_depth)
+                               + 2 * width)
+            return impl(scene.pk_nodes, scene.pk_leaves,
+                        sg(origin), sg(direction),
+                        sg(tmax) if tmax is not None else None,
+                        leaf_size=meta.leaf_size, any_hit=any_hit,
+                        interpret=_use_interpret())
         else:
             impl = _ft.partial(packet_traverse3, tree_width=width,
                                table_hbm=hbm)
