@@ -92,6 +92,25 @@ def test_fd_env_map(setup):
     _check_directional(f, x0, seed=1, h=5e-3, rel_tol=2e-2)
 
 
+def test_fd_env_map_nearest_fusion(setup):
+    """Gradients must also flow through the round-5 nearest-texel env
+    path (nee_env_nearest / escape_env_nearest — the production config):
+    NEE radiance is a single env6-row gather whose VJP scatters back onto
+    the env planes, and the loss is piecewise-linear in the texels, so
+    AD must match FD exactly away from texel boundaries."""
+    import dataclasses
+    scene, arrays, cfg, origin, direction, key = setup
+    cfgn = dataclasses.replace(cfg, nee_env_nearest=True,
+                               escape_env_nearest=True)
+
+    def f(env_planes):
+        a = arrays._replace(env_rgb=V3(*env_planes))
+        return _loss(a, cfgn, scene.meta, origin, direction, key)
+
+    x0 = (arrays.env_rgb.x, arrays.env_rgb.y, arrays.env_rgb.z)
+    _check_directional(f, x0, seed=2, h=5e-3, rel_tol=2e-2)
+
+
 def test_fd_atlas(setup):
     """Atlas texels, EXCLUDING metallicRoughness AND normal-map layers: both
     move the detached lobe-select threshold (tracer.fs:475 — sg(p_specular)
