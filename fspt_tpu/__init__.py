@@ -19,6 +19,7 @@ __version__ = "0.1.0"
 
 from fspt_tpu.config import RenderConfig, PostConfig, CameraConfig
 from fspt_tpu.scene.schema import load_scene_file, load_scene_dict, Scene
+from fspt_tpu.runtime.animation import render_animation
 from fspt_tpu.runtime.renderer import Renderer, render
 
 __all__ = [
@@ -30,4 +31,5 @@ __all__ = [
     "Scene",
     "Renderer",
     "render",
+    "render_animation",
 ]

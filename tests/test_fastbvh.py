@@ -200,7 +200,9 @@ def test_split_kernel_hit_parity(rng):
     from fspt_tpu.ops.traverse3 import packet_traverse3
     from fspt_tpu.ops.traverse4 import packet_traverse4
 
-    verts = _random_tris(800, rng)
+    # sized for interpret-mode wall-clock: the multi-pop kernel unrolls
+    # deeply, and interpret cost scales with tris x rays x visits
+    verts = _random_tris(400, rng)
     tmin, tmax = triangle_aabbs(verts)
     bvh = build_bvh_fast(tmin, tmax, leaf_size=8)
     gather = np.where(bvh.slot_tri < 0, 0, bvh.slot_tri)
@@ -213,7 +215,7 @@ def test_split_kernel_hit_parity(rng):
     nodes = jnp.asarray(pk.nodes)
     leaves = jnp.asarray(pk.leaves)
 
-    n = 2048
+    n = 1024
     origin = rng.uniform(-2, 2, size=(3, n)).astype(np.float32)
     d = rng.normal(size=(3, n)).astype(np.float32)
     d /= np.linalg.norm(d, axis=0, keepdims=True)
