@@ -151,7 +151,6 @@ def refit_arrays(arrays, meta, aux: RefitAux, mats, trans):
     def xf_vec(v):                                   # vectors: M v
         return jnp.einsum("sij,sj->si", M, v)
 
-    zero3 = jnp.zeros((1, 3), jnp.float32)
     keep = valid[:, None]
     v0 = jnp.where(keep, xf_pts(arrays.tri_v0), 0.0)
     e1 = jnp.where(keep, xf_vec(arrays.tri_e1), 0.0)
@@ -233,7 +232,6 @@ def refit_arrays(arrays, meta, aux: RefitAux, mats, trans):
     total = jnp.sum(areas)
     cdf = jnp.cumsum(areas) / jnp.maximum(total, 1e-20)
 
-    del zero3
     as3 = lambda a: V3(a[:, 0], a[:, 1], a[:, 2])
     return arrays._replace(
         pk_nodes=pk_nodes, pk_leaves=pk_leaves,
