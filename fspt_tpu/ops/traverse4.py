@@ -347,8 +347,8 @@ def packet_traverse4(nodes, leaves, origin: V3, direction: V3, tmax=None, *,
                      leaf_size: int = 8, any_hit: bool = False,
                      stack_depth: int = 64,
                      interpret: bool = False,
-                     unroll: int = 4, qcap: int = 128,
-                     drain_t: int = 0, drain_unroll: int = 0,
+                     unroll: int = 6, qcap: int = 128,
+                     drain_t: int = 0, drain_unroll: int = 4,
                      npop: int = 2, lpop: int = 2,
                      walks: int = WALKS, tree_width: int = 8) -> PacketHit:
     """v4 phase-split multiwalk traversal: same contract as
