@@ -142,6 +142,35 @@ def test_render_animation_resumable(tmp_path):
     assert not np.array_equal(read_png(paths[0]), read_png(paths[1]))
 
 
+def test_cli_production_config(tmp_path):
+    """The CLI render path must build the production estimator config
+    (split multi-pop kernel + nearest-env fusion + compaction + state
+    sort), and --no-compact must fall back to the exact-parity debug
+    config — a regression tripwire so the shipped CLI never silently
+    loses the perf levers."""
+    from argparse import Namespace
+    from fspt_tpu.testing import icosphere_obj
+    scene_path = tmp_path / "s.json"
+    (tmp_path / "mesh.obj").write_text(icosphere_obj(0))
+    scene_path.write_text(json.dumps({
+        "environment": [[0.2, 0.2, 0.2], [0.8, 0.8, 0.8]],
+        "props": [{"path": "mesh.obj", "diffuse": [1, 0, 0]}],
+    }))
+    from fspt_tpu.__main__ import _build
+    args = Namespace(scene=str(scene_path), res="32", bounces=2,
+                     batch_spp=1, mode="render", seed=0, denoise=False,
+                     exposure=None, no_compact=False)
+    _, r = _build(args)
+    assert r.cfg.intersector == "split"
+    assert r.cfg.compact and r.cfg.sort_state
+    assert r.cfg.nee_env_nearest and r.cfg.escape_env_nearest
+    args.no_compact = True
+    _, r = _build(args)
+    assert r.cfg.intersector == "walk"
+    assert not (r.cfg.compact or r.cfg.sort_state
+                or r.cfg.nee_env_nearest or r.cfg.escape_env_nearest)
+
+
 def test_cli_info(tmp_path, capsys):
     # build a tiny scene file on disk with relative assets
     from fspt_tpu.testing import icosphere_obj
