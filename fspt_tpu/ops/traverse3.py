@@ -609,7 +609,7 @@ def packet_traverse3(nodes, leaves, origin: V3, direction: V3, tmax=None, *,
         grid=(npg,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY)
+            pl.BlockSpec(memory_space=pl.ANY)
             if (stage in ("hbm", "condh") or table_hbm) else
             pl.BlockSpec(table.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
